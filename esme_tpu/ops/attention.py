@@ -1,0 +1,72 @@
+"""Segment-masked multi-head attention over packed token layouts.
+
+This is the TPU-native replacement for flash-attn's varlen kernel
+(reference: esme/attention.py:112-124): non-causal self-attention over a
+flat ``(T, H, D)`` layout where tokens may only attend within their own
+segment. Two interchangeable implementations:
+
+* :func:`attention_reference` — plain einsum + mask, O(T^2) memory,
+  fully XLA-fused; the numerics oracle and small-input path.
+* the Pallas segment-flash kernel in :mod:`esme_tpu.ops.flash` —
+  online-softmax tiles with cross-segment block skipping, linear memory.
+
+Dispatch via :func:`segment_attention`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        seg_ids: jnp.ndarray,
+                        scale: float | None = None) -> jnp.ndarray:
+    """Masked softmax attention, fp32 accumulation.
+
+    Args:
+        q, k, v: ``(T, H, D)``.
+        seg_ids: ``(T,)`` int32 — attention allowed iff equal.
+        scale: softmax scale; defaults to ``1/sqrt(D)`` (flash-attn's
+            default, reference: esme/attention.py:115-123).
+    Returns:
+        ``(T, H, D)`` in the dtype of ``q``.
+    """
+    head_dim = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (head_dim ** 0.5)
+
+    # scores in fp32 on the MXU (bf16 inputs, fp32 accumulate)
+    scores = jnp.einsum('thd,shd->hts', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    mask = seg_ids[:, None] == seg_ids[None, :]
+    scores = jnp.where(mask[None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum('hts,shd->thd', probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      seg_ids: jnp.ndarray, *, impl: str = 'auto',
+                      block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
+    """Dispatch between the einsum reference path and the Pallas
+    segment-flash kernel.
+
+    ``impl='auto'`` picks Pallas on TPU for inputs large enough to tile,
+    otherwise the reference path (CPU tests, tiny inputs).
+    """
+    if impl == 'auto':
+        on_tpu = jax.default_backend() == 'tpu'
+        impl = 'flash' if (on_tpu and q.shape[0] >= 2 * block_q) else 'reference'
+
+    if impl == 'reference':
+        return attention_reference(q, k, v, seg_ids)
+    if impl == 'flash':
+        from .flash import flash_segment_attention
+        return flash_segment_attention(q, k, v, seg_ids,
+                                       block_q=block_q, block_k=block_k)
+    raise ValueError(f'unknown attention impl: {impl}')

@@ -1,0 +1,61 @@
+"""Packed-layout helpers: segment ids and positions from ``cu_lens``.
+
+The whole framework computes over flat token vectors. Instead of the
+varlen CUDA kernels of the reference (flash_attn_varlen_func,
+reference: esme/attention.py:115-123), every op takes per-token
+``segment ids`` — attention masks cross-segment pairs, pooling reduces
+per segment. These helpers derive that metadata from the reference's
+``(cu_lens, max_len)`` contract (reference: esme/alphabet.py:148-183)
+with static shapes only.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def segment_ids_from_cu_lens(cu_lens: jnp.ndarray, total: int) -> jnp.ndarray:
+    """Per-token segment index ``(total,)`` from cumulative lengths.
+
+    Token ``t`` in ``[cu_lens[i], cu_lens[i+1])`` gets id ``i``. Tokens
+    past ``cu_lens[-1]`` (the static-shape padding tail) get id
+    ``len(cu_lens) - 1`` — one past every real segment, so they form a
+    fake segment that never attends to real tokens. This replaces the
+    reference's ``culen_indices`` repeat_interleave (reference:
+    esme/rotary.py:5-14) with a searchsorted that is O(T log S), static
+    shaped, and jit-safe even when ``cu_lens`` has repeated (padded)
+    tail values.
+    """
+    t = jnp.arange(total, dtype=cu_lens.dtype)
+    return jnp.searchsorted(cu_lens[1:], t, side='right').astype(jnp.int32)
+
+
+def positions_from_cu_lens(cu_lens: jnp.ndarray, total: int,
+                           seg_ids: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Within-sequence position of each flat token (reference:
+    esme/rotary.py:5-14 computes the same via repeat_interleave)."""
+    if seg_ids is None:
+        seg_ids = segment_ids_from_cu_lens(cu_lens, total)
+    starts = jnp.take(cu_lens, jnp.minimum(seg_ids, cu_lens.shape[0] - 1))
+    t = jnp.arange(total, dtype=cu_lens.dtype)
+    return (t - starts).astype(jnp.int32)
+
+
+def padded_to_flat_meta(batch: int, seq_len: int, valid: jnp.ndarray):
+    """Segment/position metadata for a padded ``(B, L)`` batch viewed as
+    a flat ``(B*L,)`` packed vector.
+
+    Valid tokens of row ``b`` form segment ``b``; pad positions get the
+    fake segment id ``B``. This is the static-shape TPU equivalent of
+    flash-attn's ``unpad_input`` gather (reference: esme/esm.py:238) —
+    no gather at all: pad rows just never win the segment-mask.
+    """
+    row = jnp.repeat(jnp.arange(batch, dtype=jnp.int32), seq_len)
+    col = jnp.tile(jnp.arange(seq_len, dtype=jnp.int32), batch)
+    valid = valid.reshape(-1)
+    seg_ids = jnp.where(valid, row, jnp.int32(batch))
+    return seg_ids, col
+
+
+def segment_lengths(cu_lens: jnp.ndarray) -> jnp.ndarray:
+    return cu_lens[1:] - cu_lens[:-1]

@@ -1,0 +1,89 @@
+import numpy as np
+
+from esme_tpu.alphabet import Alphabet
+from esme_tpu.data import (FastaTokenDataset, LabeledDataset,
+                           MaskedFastaTokenDataset,
+                           MaskedFastaTokenDataModule, Prefetcher,
+                           TokenSizeBatchSampler)
+
+
+def test_token_size_batch_sampler_budget():
+    sizes = [10, 20, 30, 40, 50]
+    sampler = TokenSizeBatchSampler(sizes, token_per_batch=64, shuffle=False)
+    for batch in sampler:
+        assert sum(sizes[i] + 2 for i in batch) <= 64
+    covered = sorted(i for b in sampler for i in b)
+    assert covered == list(range(5))
+
+
+def test_token_size_batch_sampler_exact():
+    # greedy assignment is deterministic without shuffling
+    sampler = TokenSizeBatchSampler([8, 8, 8, 8], token_per_batch=20,
+                                    shuffle=False)
+    assert list(sampler) == [[0, 1], [2, 3]]
+
+
+def test_token_size_batch_sampler_shuffle_seeded():
+    a = TokenSizeBatchSampler(range(100), 64, shuffle=True, random_state=3)
+    b = TokenSizeBatchSampler(range(100), 64, shuffle=True, random_state=3)
+    c = TokenSizeBatchSampler(range(100), 64, shuffle=True, random_state=4)
+    assert list(a) == list(b)
+    assert list(a) != list(c)
+
+
+def test_fasta_token_dataset_static_shapes(fasta_path):
+    ds = FastaTokenDataset(fasta_path, token_per_batch=1024, shuffle=False)
+    shapes = {batch.tokens.shape for batch in ds}
+    assert shapes == {(1024,)}
+    seg_shapes = {batch.cu_lens.shape for batch in ds}
+    assert len(seg_shapes) == 1
+    for batch in ds:
+        total = batch.num_tokens
+        assert (batch.tokens[total:] == Alphabet.padding_idx).all()
+        # cu_lens tail repeats the final value
+        assert batch.cu_lens[-1] == total
+
+
+def test_masked_fasta_token_dataset(fasta_path):
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    batch = ds[0]
+    assert batch.masked_tokens.shape == batch.tokens.shape
+    assert batch.mask.dtype == bool
+    total = batch.num_tokens
+    assert not batch.mask[total:].any()
+    changed = batch.masked_tokens != batch.tokens
+    assert changed[batch.mask].mean() > 0.5
+    assert not changed[~batch.mask].any()
+
+
+def test_datamodule_epoch_reshuffle(fasta_path):
+    dm = MaskedFastaTokenDataModule(fasta_path, val_fasta=fasta_path,
+                                    token_per_batch=1024)
+    first = [b.cu_lens.tolist() for b in dm.train_dataloader()]
+    dm.set_epoch(1)
+    second = [b.cu_lens.tolist() for b in dm.train_dataloader()]
+    assert first != second  # reshuffled
+    val1 = [b.cu_lens.tolist() for b in dm.val_dataloader()]
+    val2 = [b.cu_lens.tolist() for b in dm.val_dataloader()]
+    assert val1 == val2  # val not shuffled
+
+
+def test_labeled_dataset_truncate():
+    seqs = ['M' * 50, 'K' * 10, 'L' * 30]
+    labels = [1.0, 2.0, 3.0]
+    ds = LabeledDataset(seqs, labels, token_per_batch=128, shuffle=False,
+                        truncate_len=20)
+    batch = ds[0]
+    lens = np.diff(batch.cu_lens)
+    assert lens.max() <= 22  # truncate_len + cls/eos
+    assert batch.labels is not None
+
+
+def test_prefetcher(fasta_path):
+    ds = FastaTokenDataset(fasta_path, token_per_batch=1024, shuffle=False)
+    direct = [b.tokens for b in ds]
+    fetched = [b.tokens for b in Prefetcher(ds, depth=2)]
+    assert len(direct) == len(fetched)
+    for a, b in zip(direct, fetched):
+        np.testing.assert_array_equal(a, b)
