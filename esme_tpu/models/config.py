@@ -33,6 +33,10 @@ class ESMConfig:
     learned_positions: Optional[int] = None
     emb_layer_norm_before: bool = False  # ESM1b only
     final_ln_bias: bool = True           # ESMC's last LN has no bias
+    # pre-attn/pre-mlp LayerNorms keep biases even when linears drop
+    # theirs (ESMC: layernorm_qkv.0 and ffn.0 have biases,
+    # reference: workflow/common/safetensor_c.py:31-43)
+    norm_bias: bool = True
     # zero <mask> embeddings (ESM2/1b/1v but not ESMC,
     # reference: esme/esm.py:189 vs esm.py:876)
     zero_mask_embedding: bool = True

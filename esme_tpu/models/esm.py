@@ -1,0 +1,323 @@
+"""ESM model families: ESM2, ESM1b, ESM1v, ESMC.
+
+TPU-native re-design of the reference model layer (reference:
+esme/esm.py:28-946). The forward is a pure function over a param
+pytree, jitted per static configuration; the classes are thin stateful
+wrappers holding ``(config, params)`` and mirroring the reference's
+public API surface: ``from_pretrained``, ``forward_representation``,
+``forward``, ``predict_log_prob``, ``predict_prob``, ``add_lora``,
+``save_lora``/``load_lora``, ``mark_lmhead``.
+
+Layout contract: computation always runs over the packed flat token
+layout. Padded ``(B, L)`` inputs are *viewed* as flat with per-row
+segment ids — no gather/scatter (the XLA replacement for flash-attn's
+``unpad_input``/``pad_input``, reference: esme/esm.py:238,255); pad
+positions simply live in a fake segment that real tokens never attend
+to, and padded outputs are zeroed at pad positions to match the
+reference's scatter-with-zeros semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..alphabet import Alphabet, Alphabet3
+from ..ops.segment import (padded_to_flat_meta, positions_from_cu_lens,
+                           segment_ids_from_cu_lens)
+from .config import (ESMConfig, esm1b_config, esm1v_config, esm2_config,
+                     esmc_config)
+from .init import init_params
+from .io import (config_from_metadata, load_pretrained, read_metadata,
+                 save_pretrained)
+from .modules import (embed_tokens, layer_stack, learned_positions_flat,
+                      roberta_lm_head)
+from ..ops.norm import apply_norm
+
+
+# ---------------------------------------------------------------------------
+# Pure forward
+# ---------------------------------------------------------------------------
+
+def _embed_flat(params, cfg: ESMConfig, tokens, pos_ids):
+    """Embedding over flat tokens (reference: esme/esm.py:176-199 ESM2,
+    636-655 ESM1b, 698-715 ESM1v, 876 ESMC)."""
+    x = embed_tokens(tokens, params, cfg)
+    if cfg.learned_positions is not None:
+        x = x + learned_positions_flat(pos_ids, params, cfg)
+    if cfg.emb_layer_norm_before:
+        x = apply_norm(x, params['emb_norm_before'])
+    return x
+
+
+@partial(jax.jit, static_argnames=(
+    'cfg', 'with_head', 'log_prob', 'lora_names', 'attn_impl',
+    'checkpointing', 'collect_layers'))
+def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
+                 with_head: bool = True, log_prob: bool = False,
+                 lora_names: Optional[Tuple[str, ...]] = None,
+                 attn_impl: str = 'auto', checkpointing: bool = False,
+                 collect_layers: Optional[Tuple[int, ...]] = None):
+    """Trunk (+ optional LM head) over flat tokens with explicit
+    segment/position metadata. Returns ``(T, C)``."""
+    x = _embed_flat(params, cfg, tokens, pos_ids)
+    x, reps = layer_stack(x, params['layers'], cfg, seg_ids, pos_ids,
+                          lora_names=lora_names, attn_impl=attn_impl,
+                          checkpointing=checkpointing,
+                          collect_layers=collect_layers)
+    x = apply_norm(x, params['emb_norm_after'])
+
+    if with_head:
+        x = roberta_lm_head(x, params['lm_head'])
+        if log_prob:
+            x = jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
+    if reps:
+        x = jnp.concatenate([x, *reps], axis=-1)
+    return x
+
+
+def packed_meta(cu_lens, total: int):
+    seg_ids = segment_ids_from_cu_lens(cu_lens, total)
+    pos_ids = positions_from_cu_lens(cu_lens, total, seg_ids)
+    return seg_ids, pos_ids
+
+
+@partial(jax.jit, static_argnames=('num_segments', 'max_len'))
+def scatter_to_padded(x, seg_ids, pos_ids, num_segments: int, max_len: int):
+    """Scatter flat per-token values into a zero-padded
+    ``(num_segments, max_len, C)`` layout — the XLA equivalent of
+    flash-attn's ``pad_input`` (reference: esme/esm.py:255)."""
+    out = jnp.zeros((num_segments, max_len) + x.shape[1:], x.dtype)
+    return out.at[seg_ids, pos_ids].set(x, mode='drop')
+
+
+# ---------------------------------------------------------------------------
+# Model classes
+# ---------------------------------------------------------------------------
+
+class _ESMBase:
+    """Shared stateful wrapper. Subclasses pin the family config."""
+
+    alphabet = Alphabet
+    family = 'esm2'
+
+    def __init__(self, config: ESMConfig, params: Optional[dict] = None,
+                 rng: int | jax.Array = 0, checkpointing: bool = False,
+                 name: Optional[str] = None):
+        self.config = config
+        self.checkpointing = bool(checkpointing)
+        self.name = name or self.family
+        self.lora_kwargs = None
+        if params is None:
+            if isinstance(rng, int):
+                rng = jax.random.key(rng)
+            params = init_params(config, rng)
+        self.params = params
+
+    # -- loading -----------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, path, quantization=None, checkpointing=False,
+                        dtype='bfloat16', device=None):
+        """Load a reference-schema safetensors checkpoint
+        (reference: esme/esm.py:342-374). ``quantization`` in
+        {None, '8bit', '4bit'} quantizes the linear weights at load."""
+        cfg, params, name = load_pretrained(path, dtype=dtype)
+        model = _class_for(name.split('_')[0])(
+            config=cfg, params=params, checkpointing=checkpointing,
+            name=name)
+        if quantization is not None:
+            model.quantize(quantization)
+        return model
+
+    def save_pretrained(self, path, name=None):
+        save_pretrained(path, self.params, self.config, name or self.name)
+        return self
+
+    def quantize(self, mode='8bit'):
+        """Quantize attention/MLP linear weights in place
+        (reference loads bitsandbytes layers, esme/esm.py:420-446)."""
+        from ..quant import quantize_model_params
+        self.params = quantize_model_params(self.params, self.config, mode)
+        return self
+
+    # -- forward -----------------------------------------------------------
+
+    def _flat_call(self, tokens, seg_ids, pos_ids, **opts):
+        return forward_flat(self.params, self.config,
+                            jnp.asarray(tokens, jnp.int32),
+                            seg_ids, pos_ids,
+                            checkpointing=self.checkpointing, **opts)
+
+    def _run(self, tokens, pad_args=None, pad_output=False, lora_names=None,
+             layers=None, attn_impl='auto', with_head=True, log_prob=False):
+        lora_names = tuple(lora_names) if lora_names is not None else None
+        collect = tuple(layers) if layers else None
+        tokens = np.asarray(tokens) if not isinstance(tokens, jax.Array) \
+            else tokens
+
+        if pad_args is not None:
+            assert tokens.ndim == 1, \
+                'tokens must be flat (batch*seq_len) when pad_args given'
+            cu_lens, max_len = pad_args
+            cu_lens = jnp.asarray(cu_lens, jnp.int32)
+            seg_ids, pos_ids = packed_meta(cu_lens, tokens.shape[0])
+            x = self._flat_call(tokens, seg_ids, pos_ids,
+                                with_head=with_head, log_prob=log_prob,
+                                lora_names=lora_names, attn_impl=attn_impl,
+                                collect_layers=collect)
+            if pad_output:
+                x = scatter_to_padded(x, seg_ids, pos_ids,
+                                      int(cu_lens.shape[0]) - 1, int(max_len))
+            return x
+
+        assert tokens.ndim == 2, 'tokens must be (batch, seq_len)'
+        B, Lseq = tokens.shape
+        tokens_j = jnp.asarray(tokens, jnp.int32)
+        valid = tokens_j != self.config.padding_idx
+        seg_ids, pos_ids = padded_to_flat_meta(B, Lseq, valid)
+        x = self._flat_call(tokens_j.reshape(-1), seg_ids, pos_ids,
+                            with_head=with_head, log_prob=log_prob,
+                            lora_names=lora_names, attn_impl=attn_impl,
+                            collect_layers=collect)
+        x = x.reshape(B, Lseq, -1)
+        # match the reference's pad_input: zeros at pad positions
+        return jnp.where(valid[..., None], x, jnp.zeros_like(x))
+
+    def forward_representation(self, tokens, pad_args=None, pad_output=False,
+                               lora_names=None, layers=None,
+                               attn_impl='auto'):
+        """(reference: esme/esm.py:201-266)"""
+        return self._run(tokens, pad_args, pad_output, lora_names, layers,
+                         attn_impl, with_head=False)
+
+    def forward(self, tokens, pad_args=None, pad_output=False,
+                lora_names=None, attn_impl='auto'):
+        """Logits (reference: esme/esm.py:268-282)."""
+        return self._run(tokens, pad_args, pad_output, lora_names, None,
+                         attn_impl, with_head=True)
+
+    __call__ = forward
+
+    def predict_log_prob(self, tokens, pad_args=None, pad_output=False,
+                         lora_names=None, attn_impl='auto'):
+        """fp32 log-probabilities (reference: esme/esm.py:284-298)."""
+        return self._run(tokens, pad_args, pad_output, lora_names, None,
+                         attn_impl, with_head=True, log_prob=True)
+
+    def predict_prob(self, tokens, log=False, pad_args=None,
+                     pad_output=False, lora_names=None, attn_impl='auto'):
+        """(reference: esme/esm.py:300-317)"""
+        lp = self.predict_log_prob(tokens, pad_args, pad_output, lora_names,
+                                   attn_impl)
+        return lp if log else jnp.exp(lp)
+
+    # -- LoRA --------------------------------------------------------------
+
+    def add_lora(self, rank=16, alpha=16, layers=('query', 'value', 'output'),
+                 adapter_names=None, rng: int | jax.Array = 0):
+        """(reference: esme/esm.py:495-543)"""
+        from ..lora import add_lora_params
+        self.params, self.lora_kwargs = add_lora_params(
+            self.params, self.config, rank=rank, alpha=alpha, layers=layers,
+            adapter_names=adapter_names, rng=rng)
+        return self
+
+    def lora_state_dict(self, adapter_names=None):
+        from ..lora import lora_state_dict
+        return lora_state_dict(self.params, adapter_names)
+
+    def save_lora(self, path, adapter_names=None):
+        from ..lora import save_lora
+        save_lora(path, self.params, self.lora_kwargs, adapter_names)
+        return self
+
+    def load_lora(self, path, names=None):
+        from ..lora import load_lora
+        self.params, self.lora_kwargs = load_lora(path, self.params, names)
+        return self
+
+    def trainable_filter(self, lora_only=None, train_lmhead=False):
+        """Boolean pytree marking trainable leaves — the optax-mask
+        equivalent of ``mark_only_lora_as_trainable`` / ``mark_lmhead``
+        (reference: esme/lora.py:97-108, esme/esm.py:609-615)."""
+        from ..lora import trainable_mask
+        return trainable_mask(self.params, lora_only=lora_only,
+                              train_lmhead=train_lmhead)
+
+
+class ESM2(_ESMBase):
+    """(reference: esme/esm.py:72-615)"""
+    family = 'esm2'
+
+    def __init__(self, num_layers=33, embed_dim=1280, attention_heads=20,
+                 checkpointing=False, dtype='bfloat16', config=None,
+                 params=None, rng=0, name=None):
+        config = config or esm2_config(num_layers, embed_dim,
+                                       attention_heads, dtype=dtype)
+        super().__init__(config, params=params, rng=rng,
+                         checkpointing=checkpointing, name=name)
+
+
+class ESM1b(_ESMBase):
+    """(reference: esme/esm.py:618-679)"""
+    family = 'esm1b'
+
+    def __init__(self, checkpointing=False, dtype='bfloat16', config=None,
+                 params=None, rng=0, name=None):
+        config = config or esm1b_config(dtype=dtype)
+        super().__init__(config, params=params, rng=rng,
+                         checkpointing=checkpointing, name=name)
+
+
+class ESM1v(_ESMBase):
+    """(reference: esme/esm.py:682-735)"""
+    family = 'esm1v'
+
+    def __init__(self, checkpointing=False, dtype='bfloat16', config=None,
+                 params=None, rng=0, name=None):
+        config = config or esm1v_config(dtype=dtype)
+        super().__init__(config, params=params, rng=rng,
+                         checkpointing=checkpointing, name=name)
+
+
+class ESMC(_ESMBase):
+    """(reference: esme/esm.py:738-946)"""
+    family = 'esmc'
+    alphabet = Alphabet3
+
+    def __init__(self, num_layers=30, embed_dim=960, attention_heads=15,
+                 checkpointing=False, dtype='bfloat16', config=None,
+                 params=None, rng=0, name=None):
+        config = config or esmc_config(num_layers, embed_dim,
+                                       attention_heads, dtype=dtype)
+        super().__init__(config, params=params, rng=rng,
+                         checkpointing=checkpointing, name=name)
+
+
+def _class_for(family: str):
+    return {'esm2': ESM2, 'esm1b': ESM1b, 'esm1v': ESM1v,
+            'esmc': ESMC}[family]
+
+
+class ESM:
+    """Dispatcher: load any family by checkpoint metadata
+    (reference: esme/esm.py:28-69)."""
+
+    @staticmethod
+    def from_pretrained(path, quantization=None, checkpointing=False,
+                        dtype='bfloat16', device=None):
+        import os
+        if not os.path.isfile(path):
+            from ..download import download_model
+            path = download_model(path)
+        metadata = read_metadata(path)
+        family = metadata['name'].split('_')[0]
+        return _class_for(family).from_pretrained(
+            path, quantization=quantization, checkpointing=checkpointing,
+            dtype=dtype)

@@ -1,0 +1,206 @@
+"""Safetensors weight IO in the reference's exact key schema.
+
+Files written here are loadable by the reference implementation and
+vice-versa: keys are ``embed_tokens.weight``,
+``layers.{i}.self_attn.{norm,q,k,v,out,layernorm_q,layernorm_k}.*``,
+``layers.{i}.final.{0,1,3}.*`` (ESM2 GELU) or
+``layers.{i}.final.{0,1.activation,1.fc,2}.*`` (ESMC SwiGLU),
+``emb_layer_norm_after.*``, ``lm_head.{dense,layer_norm,final}.*``
+(reference: esme/esm.py:376-411, workflow/common/safetensor.py:29-64,
+workflow/common/safetensor_c.py:19-49), with metadata
+``{name, num_layers, embed_dim, attention_heads}``
+(reference: esme/esm.py:328-339).
+
+Torch stores linear weights ``(out, in)``; our kernels are ``(in, out)``
+and per-layer tensors are stacked on a leading axis for ``lax.scan`` —
+both transforms happen here at the file boundary.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from safetensors import flax as stf
+
+from .config import ESMConfig, esm1b_config, esm1v_config, esm2_config, \
+    esmc_config
+
+
+def read_metadata(path: str) -> Dict[str, str]:
+    """Read the safetensors header metadata without loading tensors."""
+    with open(path, 'rb') as f:
+        header_len = struct.unpack('<Q', f.read(8))[0]
+        header = json.loads(f.read(header_len))
+    return header.get('__metadata__', {}) or {}
+
+
+def config_from_metadata(metadata: Dict[str, str],
+                         dtype='bfloat16') -> Tuple[ESMConfig, str]:
+    """Dispatch on the metadata ``name`` like the reference's
+    ``ESM.from_pretrained`` (reference: esme/esm.py:50-68)."""
+    name = metadata['name']
+    family = name.split('_')[0]
+    if family == 'esm2':
+        cfg = esm2_config(num_layers=int(metadata['num_layers']),
+                          embed_dim=int(metadata['embed_dim']),
+                          attention_heads=int(metadata['attention_heads']),
+                          dtype=dtype)
+    elif family == 'esmc':
+        cfg = esmc_config(num_layers=int(metadata['num_layers']),
+                          embed_dim=int(metadata['embed_dim']),
+                          attention_heads=int(metadata['attention_heads']),
+                          dtype=dtype)
+    elif family == 'esm1b':
+        cfg = esm1b_config(dtype=dtype)
+    elif family == 'esm1v':
+        cfg = esm1v_config(dtype=dtype)
+    else:
+        raise ValueError(f'unknown model family in metadata: {name}')
+    return cfg, name
+
+
+def _maybe(flat, out, file_key, value):
+    if value is not None:
+        out[file_key] = value
+    return out
+
+
+def params_to_flat(params: dict, cfg: ESMConfig) -> Dict[str, jnp.ndarray]:
+    """Flatten the stacked param pytree into the reference key schema."""
+    flat: Dict[str, jnp.ndarray] = {}
+    flat['embed_tokens.weight'] = params['embed_tokens']
+
+    if cfg.learned_positions is not None:
+        flat['embed_positions.weight'] = params['embed_positions']
+    if cfg.emb_layer_norm_before:
+        flat['emb_layer_norm_before.weight'] = params['emb_norm_before']['scale']
+        flat['emb_layer_norm_before.bias'] = params['emb_norm_before']['bias']
+
+    def put_norm(prefix, p):
+        flat[f'{prefix}.weight'] = p['scale']
+        if 'bias' in p:
+            flat[f'{prefix}.bias'] = p['bias']
+
+    def put_linear(prefix, p):
+        flat[f'{prefix}.weight'] = jnp.swapaxes(p['kernel'], -1, -2)
+        if 'bias' in p:
+            flat[f'{prefix}.bias'] = p['bias']
+
+    L = cfg.num_layers
+    layers = params['layers']
+    for i in range(L):
+        sub = jax.tree.map(lambda x: x[i], layers)
+        attn, mlp = sub['attn'], sub['mlp']
+        put_norm(f'layers.{i}.self_attn.norm', attn['norm'])
+        for j in ('q', 'k', 'v', 'out'):
+            put_linear(f'layers.{i}.self_attn.{j}', attn[j])
+        if cfg.qk_layernorm:
+            put_norm(f'layers.{i}.self_attn.layernorm_q', attn['ln_q'])
+            put_norm(f'layers.{i}.self_attn.layernorm_k', attn['ln_k'])
+        put_norm(f'layers.{i}.final.0', mlp['norm'])
+        if cfg.mlp == 'swiglu':
+            put_linear(f'layers.{i}.final.1.activation', mlp['gate'])
+            put_linear(f'layers.{i}.final.1.fc', mlp['up'])
+            put_linear(f'layers.{i}.final.2', mlp['down'])
+        else:
+            put_linear(f'layers.{i}.final.1', mlp['fc1'])
+            put_linear(f'layers.{i}.final.3', mlp['fc2'])
+
+    put_norm('emb_layer_norm_after', params['emb_norm_after'])
+    put_linear('lm_head.dense', params['lm_head']['dense'])
+    put_norm('lm_head.layer_norm', params['lm_head']['norm'])
+    put_linear('lm_head.final', params['lm_head']['final'])
+    return flat
+
+
+def flat_to_params(flat: Dict[str, jnp.ndarray], cfg: ESMConfig) -> dict:
+    """Rebuild the stacked param pytree from reference-schema tensors."""
+    dt = cfg.jnp_dtype
+
+    def get(key):
+        return jnp.asarray(flat[key]).astype(dt)
+
+    def norm(prefix):
+        p = {'scale': get(f'{prefix}.weight')}
+        if f'{prefix}.bias' in flat:
+            p['bias'] = get(f'{prefix}.bias')
+        return p
+
+    def lin(prefix):
+        p = {'kernel': jnp.swapaxes(get(f'{prefix}.weight'), -1, -2)}
+        if f'{prefix}.bias' in flat:
+            p['bias'] = get(f'{prefix}.bias')
+        return p
+
+    def stack(fn, pattern):
+        per_layer = [fn(pattern.format(i=i)) for i in range(cfg.num_layers)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+
+    params = {'embed_tokens': get('embed_tokens.weight')}
+    if cfg.learned_positions is not None:
+        params['embed_positions'] = get('embed_positions.weight')
+    if cfg.emb_layer_norm_before:
+        params['emb_norm_before'] = norm('emb_layer_norm_before')
+
+    attn = {
+        'norm': stack(norm, 'layers.{i}.self_attn.norm'),
+        'q': stack(lin, 'layers.{i}.self_attn.q'),
+        'k': stack(lin, 'layers.{i}.self_attn.k'),
+        'v': stack(lin, 'layers.{i}.self_attn.v'),
+        'out': stack(lin, 'layers.{i}.self_attn.out'),
+    }
+    if cfg.qk_layernorm:
+        attn['ln_q'] = stack(norm, 'layers.{i}.self_attn.layernorm_q')
+        attn['ln_k'] = stack(norm, 'layers.{i}.self_attn.layernorm_k')
+
+    if cfg.mlp == 'swiglu':
+        mlp = {
+            'norm': stack(norm, 'layers.{i}.final.0'),
+            'gate': stack(lin, 'layers.{i}.final.1.activation'),
+            'up': stack(lin, 'layers.{i}.final.1.fc'),
+            'down': stack(lin, 'layers.{i}.final.2'),
+        }
+    else:
+        mlp = {
+            'norm': stack(norm, 'layers.{i}.final.0'),
+            'fc1': stack(lin, 'layers.{i}.final.1'),
+            'fc2': stack(lin, 'layers.{i}.final.3'),
+        }
+
+    params['layers'] = {'attn': attn, 'mlp': mlp}
+    params['emb_norm_after'] = norm('emb_layer_norm_after')
+    params['lm_head'] = {
+        'dense': lin('lm_head.dense'),
+        'norm': norm('lm_head.layer_norm'),
+        'final': lin('lm_head.final'),
+    }
+    return params
+
+
+def save_pretrained(path: str, params: dict, cfg: ESMConfig, name: str):
+    """Write a reference-compatible safetensors checkpoint."""
+    flat = params_to_flat(params, cfg)
+    metadata = {
+        'name': name,
+        'num_layers': str(cfg.num_layers),
+        'embed_dim': str(cfg.embed_dim),
+        'attention_heads': str(cfg.attention_heads),
+        'format': 'pt',
+    }
+    stf.save_file({k: jnp.asarray(v) for k, v in flat.items()},
+                  path, metadata)
+
+
+def load_pretrained(path: str, dtype='bfloat16'
+                    ) -> Tuple[ESMConfig, dict, str]:
+    """Load a reference-schema safetensors checkpoint into
+    ``(config, params, name)``."""
+    metadata = read_metadata(path)
+    cfg, name = config_from_metadata(metadata, dtype=dtype)
+    flat = stf.load_file(path)
+    return cfg, flat_to_params(flat, cfg), name

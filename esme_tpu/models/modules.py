@@ -1,0 +1,138 @@
+"""Transformer layer, embedding, and head apply functions.
+
+Pure functions over param pytrees: the TPU-native equivalent of the
+reference's nn.Modules (reference: esme/attention.py:10-281 attention +
+layer, esme/head.py:8-27 RobertaLMHead, esme/embedding.py:7-107 learned
+positions). Per-layer parameters are stacked on a leading axis and the
+layer stack runs under ``lax.scan`` so XLA compiles one layer body
+regardless of depth; ``jax.checkpoint`` wraps the body for activation
+checkpointing (reference: esme/esm.py:19-25,244-245).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import segment_attention
+from ..ops.linear import linear
+from ..ops.norm import apply_norm
+from ..ops.rotary import apply_rotary_qk
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch's nn.GELU default; jax's default is the
+    tanh approximation, which would break logits parity."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def attention_block(x, params, cfg, seg_ids, pos_ids,
+                    lora_names: Optional[Sequence[str]] = None,
+                    attn_impl: str = 'auto'):
+    """Multi-head self-attention over the packed layout
+    (reference: esme/attention.py:91-139).
+
+    ``x``: (T, D). LayerNorm is folded into the block; q/k optionally
+    re-normalized over the full embed dim (ESMC pre-layernorm,
+    reference: esme/attention.py:104-105) before the head split.
+    """
+    h = apply_norm(x, params['norm'])
+    q = linear(h, params['q'], lora_names)
+    k = linear(h, params['k'], lora_names)
+    v = linear(h, params['v'], lora_names)
+
+    if cfg.qk_layernorm:
+        q = apply_norm(q, params['ln_q'])
+        k = apply_norm(k, params['ln_k'])
+
+    T = x.shape[0]
+    H, Dh = cfg.attention_heads, cfg.head_dim
+    q = q.reshape(T, H, Dh)
+    k = k.reshape(T, H, Dh)
+    v = v.reshape(T, H, Dh)
+
+    if cfg.rotary:
+        q, k = apply_rotary_qk(q, k, pos_ids)
+
+    o = segment_attention(q, k, v, seg_ids, impl=attn_impl)
+    o = o.reshape(T, H * Dh)
+    return linear(o, params['out'], lora_names)
+
+
+def mlp_block(x, params, cfg):
+    """Position-wise MLP: LN -> GELU MLP (ESM2,
+    reference: esme/attention.py:228-236) or LN -> SwiGLU -> Linear
+    (ESMC, reference: esme/attention.py:217-227,258-281)."""
+    h = apply_norm(x, params['norm'])
+    if cfg.mlp == 'swiglu':
+        gate = linear(h, params['gate'])
+        up = linear(h, params['up'])
+        return linear(jax.nn.silu(gate) * up, params['down'])
+    h = linear(h, params['fc1'])
+    h = gelu(h)
+    return linear(h, params['fc2'])
+
+
+def transformer_layer(x, params, cfg, seg_ids, pos_ids,
+                      lora_names=None, attn_impl: str = 'auto'):
+    """Pre-norm residual block with residue scaling
+    (reference: esme/attention.py:241-255)."""
+    inv_scale = 1.0 / cfg.residue_scaling
+    x = x + attention_block(x, params['attn'], cfg, seg_ids, pos_ids,
+                            lora_names, attn_impl) * inv_scale
+    x = x + mlp_block(x, params['mlp'], cfg) * inv_scale
+    return x
+
+
+def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
+                attn_impl: str = 'auto', checkpointing: bool = False,
+                collect_layers: Optional[Sequence[int]] = None):
+    """Run all layers via ``lax.scan`` over stacked per-layer params.
+
+    Returns ``(x, reps)`` where ``reps`` is a list of intermediate layer
+    outputs for indices in ``collect_layers`` (reference:
+    esme/esm.py:243-250 collects them in the python loop).
+    """
+    def body(carry, layer_params):
+        out = transformer_layer(carry, layer_params, cfg, seg_ids, pos_ids,
+                                lora_names, attn_impl)
+        return out, (out if collect_layers else None)
+
+    if checkpointing:
+        body = jax.checkpoint(body)
+
+    x, ys = jax.lax.scan(body, x, stacked_params)
+
+    reps = []
+    if collect_layers:
+        for i in collect_layers:
+            reps.append(ys[i])
+    return x, reps
+
+
+def embed_tokens(tokens, params, cfg):
+    """Token embedding with the reference's mask/pad zeroing semantics
+    (reference: esme/esm.py:176-199 ESM2, 876 ESMC no zeroing)."""
+    x = jnp.take(params['embed_tokens'], tokens, axis=0)
+    if cfg.zero_mask_embedding:
+        x = jnp.where((tokens == cfg.mask_idx)[..., None],
+                      jnp.zeros_like(x), x)
+    return x
+
+
+def learned_positions_flat(pos_ids, params, cfg):
+    """Learned positional embedding over packed positions: within-seq
+    index (0-based) maps to table row ``pos + 1 + padding_idx``
+    (reference: esme/embedding.py:54-81 uses 1-based + padding_idx)."""
+    rows = pos_ids + 1 + cfg.padding_idx
+    rows = jnp.clip(rows, 0, params['embed_positions'].shape[0] - 1)
+    return jnp.take(params['embed_positions'], rows, axis=0)
+
+
+def roberta_lm_head(x, params):
+    """``final(layer_norm(gelu(dense(x))))`` (reference: esme/head.py:25-27)."""
+    h = linear(x, params['dense'])
+    h = apply_norm(gelu(h), params['norm'])
+    return linear(h, params['final'])

@@ -1,0 +1,54 @@
+"""Linear apply with quantization- and LoRA-aware dispatch.
+
+One entry point, :func:`linear`, covers the reference's three layer
+flavors behind a single param-dict contract (reference:
+esme/attention.py:76-79 plain Linear, esme/quantization.py:87-110 int8,
+esme/lora.py:73-91 multi-adapter LoRA):
+
+* dense:     ``{'kernel': (in, out) bf16, 'bias'?: (out,)}``
+* quantized: ``{'qvalue': int8/packed-int4, 'scale': ..., 'bias'?}``
+  — see :mod:`esme_tpu.quant` for the exact layouts
+* either may carry
+  ``{'lora': {name: {'a': (in, r), 'b': (r, out), 'scale': ()}}}``
+  applied as ``y + Σ_name (x @ a) @ b * scale`` with
+  ``scale = alpha / r`` (reference: esme/lora.py:66,88-91); the scale
+  leaf is stop-gradiented — it is metadata, not a trainable weight.
+
+All matmuls request fp32 accumulation on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, kernel,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def linear(x: jnp.ndarray, params: dict,
+           lora_names: Optional[Sequence[str]] = None) -> jnp.ndarray:
+    """Apply a linear layer param dict (dense or quantized), plus any
+    selected LoRA adapters."""
+    if 'qvalue' in params:
+        from ..quant import quantized_matmul
+        y = quantized_matmul(x, params)
+    else:
+        y = matmul(x, params['kernel'])
+
+    if 'bias' in params and params['bias'] is not None:
+        y = y + params['bias']
+
+    lora = params.get('lora')
+    if lora:
+        names = lora_names if lora_names is not None else sorted(lora.keys())
+        for name in names:
+            adapter = lora[name]
+            scale = jax.lax.stop_gradient(adapter['scale']).astype(x.dtype)
+            y = y + matmul(matmul(x, adapter['a']), adapter['b']) * scale
+
+    return y
