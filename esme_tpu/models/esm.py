@@ -57,19 +57,21 @@ def _embed_flat(params, cfg: ESMConfig, tokens, pos_ids):
 
 @partial(jax.jit, static_argnames=(
     'cfg', 'with_head', 'log_prob', 'lora_names', 'attn_impl',
-    'checkpointing', 'collect_layers'))
+    'checkpointing', 'collect_layers', 'max_seqlen'))
 def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                  with_head: bool = True, log_prob: bool = False,
                  lora_names: Optional[Tuple[str, ...]] = None,
                  attn_impl: str = 'auto', checkpointing: bool = False,
-                 collect_layers: Optional[Tuple[int, ...]] = None):
+                 collect_layers: Optional[Tuple[int, ...]] = None,
+                 max_seqlen: Optional[int] = None):
     """Trunk (+ optional LM head) over flat tokens with explicit
     segment/position metadata. Returns ``(T, C)``."""
     x = _embed_flat(params, cfg, tokens, pos_ids)
     x, reps = layer_stack(x, params['layers'], cfg, seg_ids, pos_ids,
                           lora_names=lora_names, attn_impl=attn_impl,
                           checkpointing=checkpointing,
-                          collect_layers=collect_layers)
+                          collect_layers=collect_layers,
+                          max_seqlen=max_seqlen)
     x = apply_norm(x, params['emb_norm_after'])
 
     if with_head:
@@ -170,7 +172,8 @@ class _ESMBase:
             x = self._flat_call(tokens, seg_ids, pos_ids,
                                 with_head=with_head, log_prob=log_prob,
                                 lora_names=lora_names, attn_impl=attn_impl,
-                                collect_layers=collect)
+                                collect_layers=collect,
+                                max_seqlen=int(max_len))
             if pad_output:
                 x = scatter_to_padded(x, seg_ids, pos_ids,
                                       int(cu_lens.shape[0]) - 1, int(max_len))
@@ -184,7 +187,7 @@ class _ESMBase:
         x = self._flat_call(tokens_j.reshape(-1), seg_ids, pos_ids,
                             with_head=with_head, log_prob=log_prob,
                             lora_names=lora_names, attn_impl=attn_impl,
-                            collect_layers=collect)
+                            collect_layers=collect, max_seqlen=Lseq)
         x = x.reshape(B, Lseq, -1)
         # match the reference's pad_input: zeros at pad positions
         return jnp.where(valid[..., None], x, jnp.zeros_like(x))

@@ -30,7 +30,8 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 
 def attention_block(x, params, cfg, seg_ids, pos_ids,
                     lora_names: Optional[Sequence[str]] = None,
-                    attn_impl: str = 'auto'):
+                    attn_impl: str = 'auto',
+                    max_seqlen: Optional[int] = None):
     """Multi-head self-attention over the packed layout
     (reference: esme/attention.py:91-139).
 
@@ -56,7 +57,8 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
     if cfg.rotary:
         q, k = apply_rotary_qk(q, k, pos_ids)
 
-    o = segment_attention(q, k, v, seg_ids, impl=attn_impl)
+    o = segment_attention(q, k, v, seg_ids, impl=attn_impl,
+                          max_seqlen=max_seqlen)
     o = o.reshape(T, H * Dh)
     return linear(o, params['out'], lora_names)
 
@@ -76,19 +78,21 @@ def mlp_block(x, params, cfg):
 
 
 def transformer_layer(x, params, cfg, seg_ids, pos_ids,
-                      lora_names=None, attn_impl: str = 'auto'):
+                      lora_names=None, attn_impl: str = 'auto',
+                      max_seqlen: Optional[int] = None):
     """Pre-norm residual block with residue scaling
     (reference: esme/attention.py:241-255)."""
     inv_scale = 1.0 / cfg.residue_scaling
     x = x + attention_block(x, params['attn'], cfg, seg_ids, pos_ids,
-                            lora_names, attn_impl) * inv_scale
+                            lora_names, attn_impl, max_seqlen) * inv_scale
     x = x + mlp_block(x, params['mlp'], cfg) * inv_scale
     return x
 
 
 def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
                 attn_impl: str = 'auto', checkpointing: bool = False,
-                collect_layers: Optional[Sequence[int]] = None):
+                collect_layers: Optional[Sequence[int]] = None,
+                max_seqlen: Optional[int] = None):
     """Run all layers via ``lax.scan`` over stacked per-layer params.
 
     Returns ``(x, reps)`` where ``reps`` is a list of intermediate layer
@@ -97,7 +101,7 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
     """
     def body(carry, layer_params):
         out = transformer_layer(carry, layer_params, cfg, seg_ids, pos_ids,
-                                lora_names, attn_impl)
+                                lora_names, attn_impl, max_seqlen)
         return out, (out if collect_layers else None)
 
     if checkpointing:

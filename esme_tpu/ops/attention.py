@@ -52,12 +52,15 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       seg_ids: jnp.ndarray, *, impl: str = 'auto',
-                      block_q: int = 512, block_k: int = 512) -> jnp.ndarray:
+                      block_q: int = 512, block_k: int = 512,
+                      max_seqlen: int | None = None) -> jnp.ndarray:
     """Dispatch between the einsum reference path and the Pallas
     segment-flash kernel.
 
     ``impl='auto'`` picks Pallas on TPU for inputs large enough to tile,
     otherwise the reference path (CPU tests, tiny inputs).
+    ``max_seqlen`` (longest packed segment; static) caps the flash
+    kernel's per-block tile span.
     """
     if impl == 'auto':
         on_tpu = jax.default_backend() == 'tpu'
@@ -68,5 +71,6 @@ def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if impl == 'flash':
         from .flash import flash_segment_attention
         return flash_segment_attention(q, k, v, seg_ids,
-                                       block_q=block_q, block_k=block_k)
+                                       block_q=block_q, block_k=block_k,
+                                       max_seqlen=max_seqlen)
     raise ValueError(f'unknown attention impl: {impl}')

@@ -1,0 +1,477 @@
+"""Pallas segment-flash attention for packed (varlen) batches.
+
+The TPU-native replacement for flash-attn's varlen CUDA kernel
+(reference: esme/attention.py:115-123). Non-causal self-attention over
+a flat token stream where token *t* may attend token *s* iff
+``seg_ids[t] == seg_ids[s]``.
+
+Design (SURVEY.md §7 deviation 2):
+
+* online-softmax tiling (flash attention) → O(T·D) memory;
+* **cross-segment block skipping**: packed batches make attention
+  block-diagonal. For every q block the contiguous span of overlapping
+  k blocks is precomputed in XLA and scalar-prefetched; the grid's
+  inner dimension walks ``max_span`` tiles whose k/v BlockSpec index
+  maps clamp into the span. Pallas's automatic pipelining then
+  double-buffers every tile load behind compute — beyond-span steps
+  clamp to a repeated block index, which skips the copy, and their
+  compute is predicated off. For a 50k-token batch of ~500-aa proteins
+  this skips ~98% of tiles — flash-attn-varlen asymptotics;
+* ``max_span`` is static: derived from the data plane's ``max_len``
+  (the longest packed sequence) as ceil((bq + 2·max_len)/bk) + 1;
+* fp32 online-softmax state and fp32 MXU accumulation; bf16 operands;
+* segment ids travel in ``(T, 1)`` and ``(1, T)`` orientations so both
+  mask orientations broadcast without in-kernel transposes.
+
+Backward is the standard two-kernel flash decomposition (dq by q-block,
+dk/dv by k-block) re-using the same span machinery via
+``jax.custom_vjp``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def block_spans(seg_ids: jnp.ndarray, block_q: int, block_k: int):
+    """Per-q-block ``[start, end)`` span of overlapping k blocks and the
+    transposed spans for the backward pass.
+
+    Correct for non-monotonic segment ids too (padded-view layout): the
+    span is min..max overlapping block; interior non-overlapping blocks
+    are killed by the in-kernel mask — wasted FLOPs only, never wrong
+    results. For packed layouts seg ids are sorted and spans are exact.
+    """
+    nqb = seg_ids.shape[0] // block_q
+    nkb = seg_ids.shape[0] // block_k
+    qs = seg_ids.reshape(nqb, block_q)
+    ks = seg_ids.reshape(nkb, block_k)
+    qmin, qmax = qs.min(1), qs.max(1)
+    kmin, kmax = ks.min(1), ks.max(1)
+
+    overlap = (kmin[None, :] <= qmax[:, None]) & \
+        (kmax[None, :] >= qmin[:, None])          # (nqb, nkb)
+
+    def spans(ov):
+        n = ov.shape[1]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        start = jnp.min(jnp.where(ov, idx, n), axis=1)
+        end = jnp.max(jnp.where(ov, idx + 1, 0), axis=1)
+        return start.astype(jnp.int32), end.astype(jnp.int32)
+
+    kstart, kend = spans(overlap)          # per q block
+    qstart, qend = spans(overlap.T)        # per k block
+    return kstart, kend, qstart, qend
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _span_cap(T, block_q, block_k, max_seqlen):
+    """Static upper bound on a q block's k-span width (in k blocks)."""
+    nkb = -(-T // block_k)
+    if max_seqlen is None:
+        return nkb
+    cap = -(-(block_q + 2 * max_seqlen) // block_k) + 1
+    return min(nkb, cap)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(kstart_ref, kend_ref,
+                q_ref, segq_ref, k_ref, v_ref, segk_ref,
+                o_ref, lse_ref,
+                m_scr, l_scr, acc_scr,
+                *, scale: float):
+    i = pl.program_id(1)
+    jj = pl.program_id(2)
+    n_span = pl.num_programs(2)
+
+    @pl.when(jj == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(jj < kend_ref[i] - kstart_ref[i])
+    def _():
+        qb = q_ref[0]                                # (bq, d)
+        s = _dot(qb, k_ref[0], ((1,), (1,))) * scale  # (bq, bk)
+        mask = segq_ref[:] == segk_ref[:]            # (bq,1) == (1,bk)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:]                            # (bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = _dot(p.astype(v_ref.dtype), v_ref[0], ((1,), (0,)))
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = m_new
+
+    @pl.when(jj == n_span - 1)
+    def _():
+        l = l_scr[:]
+        # fully-masked rows cannot happen for real tokens (every token
+        # overlaps its own block); keep padding rows finite anyway
+        l_safe = jnp.where(l == 0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:] + jnp.log(l_safe)
+
+
+def _fwd(q, k, v, seg2d, segT, kstart, kend, *, block_q, block_k,
+         max_span, scale, interpret):
+    """q/k/v: (H, T, D). Returns o (H,T,D), lse (H,T,1) fp32."""
+    H, T, D = q.shape
+    nqb = T // block_q
+
+    def kv_index(h, i, jj, kstart_ref, kend_ref):
+        j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
+        return (h, j, 0)
+
+    def segk_index(h, i, jj, kstart_ref, kend_ref):
+        j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
+        return (0, j)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(H, nqb, max_span),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda h, i, jj, *_: (h, i, 0),
+                         memory_space=pltpu.VMEM),        # q
+            pl.BlockSpec((block_q, 1), lambda h, i, jj, *_: (i, 0),
+                         memory_space=pltpu.VMEM),        # seg_q (T,1)
+            pl.BlockSpec((1, block_k, D), kv_index,
+                         memory_space=pltpu.VMEM),        # k
+            pl.BlockSpec((1, block_k, D), kv_index,
+                         memory_space=pltpu.VMEM),        # v
+            pl.BlockSpec((1, block_k), segk_index,
+                         memory_space=pltpu.VMEM),        # seg_k (1,T)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda h, i, jj, *_: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda h, i, jj, *_: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((H, T, D), q.dtype),
+            jax.ShapeDtypeStruct((H, T, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(kstart, kend, q, seg2d, k, v, segT)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(kstart_ref, kend_ref,
+               q_ref, do_ref, lse_ref, delta_ref, segq_ref,
+               k_ref, v_ref, segk_ref,
+               dq_ref,
+               dq_scr,
+               *, scale: float):
+    i = pl.program_id(1)
+    jj = pl.program_id(2)
+    n_span = pl.num_programs(2)
+
+    @pl.when(jj == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(jj < kend_ref[i] - kstart_ref[i])
+    def _():
+        qb = q_ref[0]
+        dob = do_ref[0]
+        lse = lse_ref[0]                             # (bq, 1)
+        delta = delta_ref[0]                         # (bq, 1)
+
+        s = _dot(qb, k_ref[0], ((1,), (1,))) * scale  # (bq, bk)
+        mask = segq_ref[:] == segk_ref[:]
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+
+        dp = _dot(dob, v_ref[0], ((1,), (1,)))        # (bq, bk)
+        ds = p * (dp - delta) * scale
+        dq_scr[:] = dq_scr[:] + _dot(ds.astype(k_ref.dtype), k_ref[0],
+                                     ((1,), (0,)))
+
+    @pl.when(jj == n_span - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(qstart_ref, qend_ref,
+                k_ref, v_ref, segk_ref,
+                q_ref, do_ref, lse_ref, delta_ref, segq_ref,
+                dk_ref, dv_ref,
+                dk_scr, dv_scr,
+                *, scale: float):
+    j = pl.program_id(1)
+    ii = pl.program_id(2)
+    n_span = pl.num_programs(2)
+
+    @pl.when(ii == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    @pl.when(ii < qend_ref[j] - qstart_ref[j])
+    def _():
+        kb = k_ref[0]                                # (bk, d)
+        vb = v_ref[0]
+        qb = q_ref[0]                                # (bq, d)
+        dob = do_ref[0]
+        lse = lse_ref[0]                             # (bq, 1)
+        delta = delta_ref[0]                         # (bq, 1)
+
+        s = _dot(qb, kb, ((1,), (1,))) * scale       # (bq, bk)
+        mask = segq_ref[:] == segk_ref[:]            # (bq,1) == (1,bk)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+
+        # dv (bk, d) = p^T @ do : contract over bq (dims 0,0)
+        dv_scr[:] = dv_scr[:] + _dot(p.astype(dob.dtype), dob,
+                                     ((0,), (0,)))
+        dp = _dot(dob, vb, ((1,), (1,)))             # (bq, bk)
+        ds = p * (dp - delta) * scale
+        # dk (bk, d) = ds^T @ q : contract over bq
+        dk_scr[:] = dk_scr[:] + _dot(ds.astype(qb.dtype), qb,
+                                     ((0,), (0,)))
+
+    @pl.when(ii == n_span - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
+         block_q, block_k, max_span_q, max_span_k, scale, interpret):
+    H, T, D = q.shape
+    nqb = T // block_q
+    nkb = T // block_k
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)          # (H, T, 1)
+
+    def kv_index(h, i, jj, kstart_ref, kend_ref):
+        j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
+        return (h, j, 0)
+
+    def segk_index(h, i, jj, kstart_ref, kend_ref):
+        j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
+        return (0, j)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(H, nqb, max_span_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, D),
+                             lambda h, i, jj, *_: (h, i, 0),
+                             memory_space=pltpu.VMEM),   # q
+                pl.BlockSpec((1, block_q, D),
+                             lambda h, i, jj, *_: (h, i, 0),
+                             memory_space=pltpu.VMEM),   # do
+                pl.BlockSpec((1, block_q, 1),
+                             lambda h, i, jj, *_: (h, i, 0),
+                             memory_space=pltpu.VMEM),   # lse
+                pl.BlockSpec((1, block_q, 1),
+                             lambda h, i, jj, *_: (h, i, 0),
+                             memory_space=pltpu.VMEM),   # delta
+                pl.BlockSpec((block_q, 1),
+                             lambda h, i, jj, *_: (i, 0),
+                             memory_space=pltpu.VMEM),   # seg_q (T,1)
+                pl.BlockSpec((1, block_k, D), kv_index,
+                             memory_space=pltpu.VMEM),   # k
+                pl.BlockSpec((1, block_k, D), kv_index,
+                             memory_space=pltpu.VMEM),   # v
+                pl.BlockSpec((1, block_k), segk_index,
+                             memory_space=pltpu.VMEM),   # seg_k (1,T)
+            ],
+            out_specs=pl.BlockSpec((1, block_q, D),
+                                   lambda h, i, jj, *_: (h, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, T, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(kstart, kend, q, do, lse, delta, seg2d, k, v, segT)
+
+    def q_index(h, j, ii, qstart_ref, qend_ref):
+        i = jnp.minimum(qstart_ref[j] + ii, qend_ref[j] - 1)
+        return (h, i, 0)
+
+    def segq_index(h, j, ii, qstart_ref, qend_ref):
+        i = jnp.minimum(qstart_ref[j] + ii, qend_ref[j] - 1)
+        return (i, 0)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(H, nkb, max_span_q),
+            in_specs=[
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, j, ii, *_: (h, j, 0),
+                             memory_space=pltpu.VMEM),   # k
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, j, ii, *_: (h, j, 0),
+                             memory_space=pltpu.VMEM),   # v
+                pl.BlockSpec((1, block_k),
+                             lambda h, j, ii, *_: (0, j),
+                             memory_space=pltpu.VMEM),   # seg_k (1,T)
+                pl.BlockSpec((1, block_q, D), q_index,
+                             memory_space=pltpu.VMEM),   # q
+                pl.BlockSpec((1, block_q, D), q_index,
+                             memory_space=pltpu.VMEM),   # do
+                pl.BlockSpec((1, block_q, 1), q_index,
+                             memory_space=pltpu.VMEM),   # lse
+                pl.BlockSpec((1, block_q, 1), q_index,
+                             memory_space=pltpu.VMEM),   # delta
+                pl.BlockSpec((block_q, 1), segq_index,
+                             memory_space=pltpu.VMEM),   # seg_q (T,1)
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, j, ii, *_: (h, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, D),
+                             lambda h, j, ii, *_: (h, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((H, T, D), k.dtype),
+            jax.ShapeDtypeStruct((H, T, D), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+        interpret=interpret,
+    )(qstart, qend, k, v, segT, q, do, lse, delta, seg2d)
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public entry: custom-vjp wrapper over the (T, H, D) layout
+# ---------------------------------------------------------------------------
+
+def _pad_to(x, t_pad, axis, fill=0):
+    if t_pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, t_pad)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core(q, k, v, seg_ids, block_q, block_k, max_seqlen, interpret):
+    o, _ = _flash_fwd_vjp(q, k, v, seg_ids, block_q, block_k, max_seqlen,
+                          interpret)
+    return o
+
+
+def _flash_fwd_vjp(q, k, v, seg_ids, block_q, block_k, max_seqlen,
+                   interpret):
+    """q,k,v: (H, T, D)."""
+    T = q.shape[1]
+    scale = 1.0 / math.sqrt(q.shape[2])
+    seg2d = seg_ids.reshape(T, 1)
+    segT = seg_ids.reshape(1, T)
+    kstart, kend, _, _ = block_spans(seg_ids, block_q, block_k)
+    max_span = _span_cap(T, block_q, block_k, max_seqlen)
+    o, lse = _fwd(q, k, v, seg2d, segT, kstart, kend, block_q=block_q,
+                  block_k=block_k, max_span=max_span, scale=scale,
+                  interpret=interpret)
+    return o, (q, k, v, seg_ids, o, lse)
+
+
+def _flash_bwd_vjp(block_q, block_k, max_seqlen, interpret, res, do):
+    q, k, v, seg_ids, o, lse = res
+    T = q.shape[1]
+    scale = 1.0 / math.sqrt(q.shape[2])
+    seg2d = seg_ids.reshape(T, 1)
+    segT = seg_ids.reshape(1, T)
+    kstart, kend, qstart, qend = block_spans(seg_ids, block_q, block_k)
+    dq, dk, dv = _bwd(
+        q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend,
+        block_q=block_q, block_k=block_k,
+        max_span_q=_span_cap(T, block_k, block_q, max_seqlen),
+        max_span_k=_span_cap(T, block_q, block_k, max_seqlen),
+        scale=scale, interpret=interpret)
+    return dq, dk, dv, None
+
+
+_flash_core.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
+
+
+def flash_segment_attention(q, k, v, seg_ids, *, block_q: int = 512,
+                            block_k: int = 512,
+                            max_seqlen: int | None = None,
+                            interpret: bool | None = None) -> jnp.ndarray:
+    """Segment-masked flash attention over ``(T, H, D)`` packed layout.
+
+    Drop-in replacement for
+    :func:`esme_tpu.ops.attention.attention_reference` with linear
+    memory and block-diagonal tile skipping. ``max_seqlen`` (the
+    longest packed segment, the data plane's ``max_len``) statically
+    caps the per-q-block tile span; None means no cap (full sweep,
+    still mask-correct, just more skipped grid steps).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    T, H, D = q.shape
+    t128 = ((T + 127) // 128) * 128
+    block_q = min(block_q, t128)
+    block_k = min(block_k, t128)
+    t_pad = (-T) % max(block_q, block_k)
+    seg_fill = _pad_to(seg_ids.astype(jnp.int32), t_pad, 0)
+    if t_pad:
+        # padded rows get a dedicated fake segment past every real id
+        seg_fill = seg_fill.at[T:].set(jnp.max(seg_ids) + 1)
+
+    qt = _pad_to(jnp.swapaxes(q, 0, 1), t_pad, 1)   # (H, T', D)
+    kt = _pad_to(jnp.swapaxes(k, 0, 1), t_pad, 1)
+    vt = _pad_to(jnp.swapaxes(v, 0, 1), t_pad, 1)
+
+    # seg_ids are attention structure, not data: block gradients
+    seg_fill = jax.lax.stop_gradient(seg_fill)
+
+    o = _flash_core(qt, kt, vt, seg_fill, block_q, block_k, max_seqlen,
+                    interpret)
+    o = jnp.swapaxes(o, 0, 1)[:T]
+    return o.astype(q.dtype)

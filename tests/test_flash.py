@@ -1,0 +1,114 @@
+"""Pallas segment-flash attention vs the einsum oracle (interpret mode
+on CPU; the same comparisons run on real TPU in bench/verification)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from esme_tpu.ops.attention import attention_reference
+from esme_tpu.ops.flash import block_spans, flash_segment_attention
+
+
+def make(T, H, D, lens, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    seg = np.concatenate([np.full(l, i) for i, l in enumerate(lens)])
+    assert seg.shape[0] == T
+    q = jnp.asarray(rng.standard_normal((T, H, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((T, H, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((T, H, D)), dtype)
+    return q, k, v, jnp.asarray(seg.astype(np.int32))
+
+
+def test_block_spans_packed():
+    seg = jnp.asarray(np.repeat([0, 1, 2], [100, 150, 134]).astype(np.int32))
+    kstart, kend, qstart, qend = block_spans(seg, 128, 128)
+    # block 0 holds segs {0,1} -> overlaps blocks 0..1 (seg1 ends @250)
+    assert int(kstart[0]) == 0 and int(kend[0]) == 2
+    # block 2 holds seg 2 only (tokens 256..383) -> blocks 1..2
+    assert int(kstart[2]) == 1 and int(kend[2]) == 3
+    np.testing.assert_array_equal(np.asarray(qstart), np.asarray(kstart))
+
+
+@pytest.mark.parametrize('lens', [
+    [100, 150, 134],           # uneven, crosses block boundaries
+    [384],                     # single segment
+    [1] * 384,                 # many tiny segments
+])
+def test_flash_fwd_matches_reference(lens):
+    T = sum(lens)
+    q, k, v, seg = make(T, 2, 64, lens)
+    ref = attention_reference(q, k, v, seg)
+    out = flash_segment_attention(q, k, v, seg, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_unaligned_total():
+    # T not a multiple of the block: wrapper pads with a fake segment
+    lens = [70, 45, 30]
+    T = sum(lens)
+    q, k, v, seg = make(T, 2, 32, lens)
+    ref = attention_reference(q, k, v, seg)
+    out = flash_segment_attention(q, k, v, seg, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_max_seqlen_cap():
+    lens = [100, 150, 134]
+    T = sum(lens)
+    q, k, v, seg = make(T, 2, 64, lens)
+    ref = attention_reference(q, k, v, seg)
+    out = flash_segment_attention(q, k, v, seg, block_q=128, block_k=128,
+                                  max_seqlen=150)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_grad_matches_reference():
+    lens = [100, 150, 134]
+    T = sum(lens)
+    q, k, v, seg = make(T, 2, 64, lens)
+
+    def loss_flash(q, k, v):
+        return (flash_segment_attention(q, k, v, seg, block_q=128,
+                                        block_k=128) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (attention_reference(q, k, v, seg) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-3)
+
+
+def test_flash_no_cross_segment_leakage():
+    # changing tokens of segment 1 must not affect segment 0's outputs
+    lens = [128, 128]
+    T = sum(lens)
+    q, k, v, seg = make(T, 2, 64, lens)
+    out1 = flash_segment_attention(q, k, v, seg, block_q=128, block_k=128)
+    k2 = k.at[128:].add(3.0)
+    v2 = v.at[128:].add(-1.0)
+    out2 = flash_segment_attention(q, k2, v2, seg, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out1[:128]),
+                               np.asarray(out2[:128]), atol=1e-6)
+    assert np.abs(np.asarray(out1[128:]) -
+                  np.asarray(out2[128:])).max() > 1e-3
+
+
+def test_model_with_flash_impl_matches_einsum():
+    from esme_tpu import ESM2, tokenize_unpad
+    from esme_tpu.models.config import esm2_config
+    cfg = esm2_config(num_layers=2, embed_dim=64, attention_heads=4,
+                      dtype='float32')
+    m = ESM2(config=cfg, rng=0)
+    seqs = ['MAGVLKE' * 10, 'LKE' * 25, 'MPVAP' * 30]
+    tok, _, cu, ml = tokenize_unpad(seqs, alphabet=m.alphabet)
+    a = np.asarray(m.forward(tok, pad_args=(cu, ml), attn_impl='reference'))
+    b = np.asarray(m.forward(tok, pad_args=(cu, ml), attn_impl='flash'))
+    np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
