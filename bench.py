@@ -1,0 +1,131 @@
+"""Headline benchmark: ESM2-650M unpadded forward throughput per chip.
+
+Prints one JSON line:
+``{"metric": ..., "value": N, "unit": "tokens/sec/chip",
+"vs_baseline": N, "extra": {...}}``
+
+Setting mirrors the reference's whole-proteome inference benchmark —
+packed batches at token_per_batch=50_000 of 100-1000 aa sequences
+(reference: workflow/inference/inference_on_human.py:9-18).
+
+``vs_baseline`` is the packed-vs-padded speedup per real token — the
+same efficient-vs-baseline comparison the reference paper reports
+(packed flash attention vs padded batches of 16,
+reference: workflow/inference/inference_runtime.py:36-52). The padded
+baseline runs the SAME model and kernel on the padded layout, so the
+ratio isolates the packing win.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from esme_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from esme_tpu import ESM2, pad_tokens
+    from esme_tpu.alphabet import Alphabet
+    from esme_tpu.models.esm import forward_flat, packed_meta
+
+    on_tpu = jax.default_backend() == 'tpu'
+
+    if on_tpu:
+        model = ESM2(num_layers=33, embed_dim=1280, attention_heads=20,
+                     rng=0)
+        token_budget = 50_000
+        reps = 10
+    else:  # CPU smoke fallback so the script always produces a line
+        model = ESM2(num_layers=4, embed_dim=256, attention_heads=8,
+                     rng=0, dtype='float32')
+        token_budget = 2_048
+        reps = 2
+
+    cfg = model.config
+    rng = np.random.default_rng(0)
+
+    # packed batch of 100-1000 aa sequences filling the budget
+    lens = []
+    total = 0
+    while total < token_budget - 1024:
+        n = int(rng.integers(100, 1000))
+        lens.append(n + 2)
+        total += n + 2
+    cu = np.cumsum([0, *lens]).astype(np.int32)
+    tokens = np.full(token_budget, Alphabet.padding_idx, np.int32)
+    tokens[:cu[-1]] = rng.integers(4, 24, cu[-1])
+    max_len = int(max(lens))
+    real_tokens = int(cu[-1])
+
+    tokens_j = jnp.asarray(tokens)
+    seg_ids, pos_ids = packed_meta(jnp.asarray(cu), token_budget)
+
+    impl = 'flash' if on_tpu else 'reference'
+    packed_fn = jax.jit(lambda t, s, p: forward_flat(
+        model.params, cfg, t, s, p, with_head=True,
+        attn_impl=impl, max_seqlen=max_len))
+
+    out = packed_fn(tokens_j, seg_ids, pos_ids)
+    out.block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        out = packed_fn(tokens_j, seg_ids, pos_ids)
+    out.block_until_ready()
+    dt_packed = (time.time() - t0) / reps
+    tok_per_sec = real_tokens / dt_packed
+
+    extra = {'ms_per_batch': round(dt_packed * 1e3, 2),
+             'token_budget': token_budget,
+             'real_tokens': real_tokens,
+             'num_seqs': len(lens),
+             'backend': jax.default_backend()}
+
+    vs_baseline = 1.0
+    if on_tpu:
+        # padded baseline: same sequences in batches of 16, padded to a
+        # common length (reference baseline batching, batch=16)
+        batch_rows = 16
+        row_len = ((max_len + 127) // 128) * 128
+        seqs = [tokens[cu[i]:cu[i + 1]] for i in range(len(lens))]
+        n_batches = -(-len(seqs) // batch_rows)
+        padded_batches = []
+        for b in range(n_batches):
+            chunk = seqs[b * batch_rows:(b + 1) * batch_rows]
+            while len(chunk) < batch_rows:
+                chunk.append(chunk[-1])
+            arr = np.full((batch_rows, row_len), Alphabet.padding_idx,
+                          np.int32)
+            for r, s in enumerate(chunk):
+                arr[r, :len(s)] = s
+            padded_batches.append(jnp.asarray(arr))
+
+        def padded_fn(t):
+            return model.forward(t, attn_impl=impl)
+
+        padded_fn(padded_batches[0]).block_until_ready()   # compile
+        t0 = time.time()
+        for pb in padded_batches:
+            out = padded_fn(pb)
+        out.block_until_ready()
+        dt_padded = time.time() - t0
+        vs_baseline = (dt_padded / real_tokens) / (dt_packed / real_tokens)
+        extra['ms_padded_total'] = round(dt_padded * 1e3, 2)
+        extra['padded_tokens_incl_pad'] = n_batches * batch_rows * row_len
+
+    print(json.dumps({
+        'metric': 'tokens/sec/chip (ESM2-650M unpadded fwd)',
+        'value': round(tok_per_sec, 1),
+        'unit': 'tokens/sec/chip',
+        'vs_baseline': round(vs_baseline, 3),
+        'extra': extra,
+    }))
+
+
+if __name__ == '__main__':
+    main()

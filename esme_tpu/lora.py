@@ -59,7 +59,6 @@ def add_lora_params(params: dict, cfg: ESMConfig, rank: int = 16,
     targets = _targets(layers)
     dtype = cfg.jnp_dtype
     L, D = cfg.num_layers, cfg.embed_dim
-    scale = jnp.asarray(alpha / rank, jnp.float32)
 
     params = dict(params)
     params['layers'] = copy.deepcopy(params['layers'])
@@ -74,7 +73,9 @@ def add_lora_params(params: dict, cfg: ESMConfig, rank: int = 16,
                 'a': jax.random.uniform(key, (L, D, rank), jnp.float32,
                                         -bound, bound).astype(dtype),
                 'b': jnp.zeros((L, rank, D), dtype),
-                'scale': scale,
+                # per-layer stacked scalar (scans with the layer stack);
+                # fresh array per adapter so buffer donation stays 1:1
+                'scale': jnp.full((L,), alpha / rank, jnp.float32),
             }
         attn[t] = {**attn[t], 'lora': adapters}
 
@@ -147,7 +148,6 @@ def load_lora(path: str, params: dict, names=None,
     params = dict(params)
     params['layers'] = copy.deepcopy(params['layers'])
     attn = params['layers']['attn']
-    scale = jnp.asarray(alpha / rank, jnp.float32)
 
     for lname in layer_names:
         t = _LAYER_TO_TARGET[lname]
@@ -164,7 +164,9 @@ def load_lora(path: str, params: dict, names=None,
                 jnp.asarray(
                     flat[f'layers.{i}.self_attn.{t}.lora_B.{name}']).T
                 for i in range(num_layers)]).astype(base_dtype)
-            adapters[name] = {'a': a, 'b': b, 'scale': scale}
+            adapters[name] = {
+                'a': a, 'b': b,
+                'scale': jnp.full((num_layers,), alpha / rank, jnp.float32)}
         attn[t] = {**attn[t], 'lora': adapters}
 
     lora_kwargs = {'rank': rank, 'alpha': alpha,

@@ -57,21 +57,32 @@ def _embed_flat(params, cfg: ESMConfig, tokens, pos_ids):
 
 @partial(jax.jit, static_argnames=(
     'cfg', 'with_head', 'log_prob', 'lora_names', 'attn_impl',
-    'checkpointing', 'collect_layers', 'max_seqlen'))
+    'checkpointing', 'collect_layers', 'max_seqlen', 'layer_gather',
+    'outer_gather'))
 def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                  with_head: bool = True, log_prob: bool = False,
                  lora_names: Optional[Tuple[str, ...]] = None,
                  attn_impl: str = 'auto', checkpointing: bool = False,
                  collect_layers: Optional[Tuple[int, ...]] = None,
-                 max_seqlen: Optional[int] = None):
+                 max_seqlen: Optional[int] = None,
+                 layer_gather=None, outer_gather=None):
     """Trunk (+ optional LM head) over flat tokens with explicit
-    segment/position metadata. Returns ``(T, C)``."""
+    segment/position metadata. Returns ``(T, C)``.
+
+    ``layer_gather``/``outer_gather`` are the FSDP all-gather hooks
+    (see esme_tpu.parallel.fsdp) used when params arrive sharded inside
+    a ``shard_map``.
+    """
+    if outer_gather is not None:
+        outer = outer_gather({k: v for k, v in params.items()
+                              if k != 'layers'})
+        params = {**outer, 'layers': params['layers']}
     x = _embed_flat(params, cfg, tokens, pos_ids)
     x, reps = layer_stack(x, params['layers'], cfg, seg_ids, pos_ids,
                           lora_names=lora_names, attn_impl=attn_impl,
                           checkpointing=checkpointing,
                           collect_layers=collect_layers,
-                          max_seqlen=max_seqlen)
+                          max_seqlen=max_seqlen, gather_fn=layer_gather)
     x = apply_norm(x, params['emb_norm_after'])
 
     if with_head:
@@ -118,7 +129,10 @@ class _ESMBase:
         if params is None:
             if isinstance(rng, int):
                 rng = jax.random.key(rng)
-            params = init_params(config, rng)
+            # one jitted program: on remote/tunneled backends eager
+            # per-leaf init costs seconds of dispatch latency per op
+            params = jax.jit(init_params,
+                             static_argnums=(0,))(config, rng)
         self.params = params
 
     # -- loading -----------------------------------------------------------
@@ -184,10 +198,13 @@ class _ESMBase:
         tokens_j = jnp.asarray(tokens, jnp.int32)
         valid = tokens_j != self.config.padding_idx
         seg_ids, pos_ids = padded_to_flat_meta(B, Lseq, valid)
+        # NB max_seqlen must stay None here: the padded-view layout has
+        # non-monotonic segment ids, so flash tile spans are full-range
+        # and a static cap would silently drop attention tiles
         x = self._flat_call(tokens_j.reshape(-1), seg_ids, pos_ids,
                             with_head=with_head, log_prob=log_prob,
                             lora_names=lora_names, attn_impl=attn_impl,
-                            collect_layers=collect, max_seqlen=Lseq)
+                            collect_layers=collect, max_seqlen=None)
         x = x.reshape(B, Lseq, -1)
         # match the reference's pad_input: zeros at pad positions
         return jnp.where(valid[..., None], x, jnp.zeros_like(x))

@@ -92,14 +92,20 @@ def transformer_layer(x, params, cfg, seg_ids, pos_ids,
 def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
                 attn_impl: str = 'auto', checkpointing: bool = False,
                 collect_layers: Optional[Sequence[int]] = None,
-                max_seqlen: Optional[int] = None):
+                max_seqlen: Optional[int] = None, gather_fn=None):
     """Run all layers via ``lax.scan`` over stacked per-layer params.
+
+    ``gather_fn`` (FSDP hook) all-gathers one layer's param shards
+    inside the body — with checkpointing it re-runs in backward, so
+    full weights never persist (ZeRO-3 semantics).
 
     Returns ``(x, reps)`` where ``reps`` is a list of intermediate layer
     outputs for indices in ``collect_layers`` (reference:
     esme/esm.py:243-250 collects them in the python loop).
     """
     def body(carry, layer_params):
+        if gather_fn is not None:
+            layer_params = gather_fn(layer_params)
         out = transformer_layer(carry, layer_params, cfg, seg_ids, pos_ids,
                                 lora_names, attn_impl, max_seqlen)
         return out, (out if collect_layers else None)

@@ -1,0 +1,3 @@
+from .mesh import make_mesh, initialize_distributed
+from .fsdp import (fsdp_partition_specs, shard_params, make_layer_gather,
+                   make_outer_gather)

@@ -1,0 +1,135 @@
+"""Weight-only quantization: per-channel int8 and blockwise NF4 4-bit.
+
+TPU-native replacement for the reference's two quantization paths —
+bitsandbytes ``Linear8bitLt``/``Linear4bit`` at load time
+(reference: esme/esm.py:420-446) and the in-repo experimental row-wise
+absmax int8 (reference: esme/quantization.py:20-110). One unified
+scheme instead of two:
+
+* **int8**: per-output-channel absmax scales over the input dim —
+  the same granularity as the reference's row-wise scheme on the
+  ``(out, in)`` torch weight (reference: esme/quantization.py:20-26).
+* **4bit**: NF4 (normal-float) codebook with blockwise absmax along
+  the input dim, two nibbles packed per byte — the layout family of
+  bitsandbytes ``Linear4bit``.
+
+Dequantization happens at matmul time inside the jit; under the
+layer-``scan`` only ONE layer's weights are ever materialized in bf16
+at a time, so model memory is dominated by the quantized storage
+(the capacity win that lets 15B fit one device, reference motivation).
+Quantized layers remain LoRA-wrappable — adapters ride alongside in
+the same param dict (reference: esme/lora.py:51-52).
+
+Embeddings, norms, and the LM head stay in bf16, exactly like the
+reference's quantized loaders (reference: esme/esm.py:448-472).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# QLoRA NF4 codebook (public constant)
+NF4_CODE = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+], dtype=np.float32)
+_NF4_BOUNDARIES = (NF4_CODE[1:] + NF4_CODE[:-1]) / 2
+
+
+def quantize_int8(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Per-output-channel absmax int8 over ``(..., in, out)`` kernels."""
+    w = kernel.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return {'qvalue': q, 'scale': scale}
+
+
+def quantize_nf4(kernel: jnp.ndarray, block: int = 64
+                 ) -> Dict[str, jnp.ndarray]:
+    """Blockwise NF4 over the input dim of ``(..., in, out)`` kernels."""
+    *lead, d_in, d_out = kernel.shape
+    assert d_in % block == 0, f'in dim {d_in} not divisible by {block}'
+    w = kernel.astype(jnp.float32).reshape(*lead, d_in // block, block, d_out)
+    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    absmax = jnp.where(absmax == 0, 1.0, absmax)
+    normed = w / absmax
+    idx = jnp.searchsorted(jnp.asarray(_NF4_BOUNDARIES),
+                           normed, side='left').astype(jnp.uint8)
+    # pack two nibbles per byte along the block dim
+    idx = idx.reshape(*lead, d_in // block, block // 2, 2, d_out)
+    packed = (idx[..., 0, :] | (idx[..., 1, :] << 4)).astype(jnp.uint8)
+    return {
+        'qvalue': packed.reshape(*lead, d_in // 2, d_out),
+        'scale': absmax.reshape(*lead, d_in // block, 1, d_out),
+    }
+
+
+def dequantize(params: Dict[str, jnp.ndarray],
+               dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Back to a dense ``(..., in, out)`` kernel. The scheme is
+    inferred from the storage dtype: int8 = per-channel, uint8 = packed
+    NF4 (keeps the param pytree free of non-array leaves for jit)."""
+    if params['qvalue'].dtype == jnp.int8:
+        return (params['qvalue'].astype(jnp.float32)
+                * params['scale']).astype(dtype)
+    if params['qvalue'].dtype == jnp.uint8:
+        packed = params['qvalue']
+        *lead, half_in, d_out = packed.shape
+        scale = params['scale']
+        nblocks = scale.shape[-3]
+        block = (half_in * 2) // nblocks
+        lo = (packed & 0x0F).astype(jnp.int32)
+        hi = (packed >> 4).astype(jnp.int32)
+        idx = jnp.stack([lo, hi], axis=-2)      # (..., half_in, 2, out)
+        idx = idx.reshape(*lead, nblocks, block, d_out)
+        code = jnp.asarray(NF4_CODE)
+        w = jnp.take(code, idx) * scale
+        return w.reshape(*lead, half_in * 2, d_out).astype(dtype)
+    raise ValueError(f'unknown quant dtype {params["qvalue"].dtype}')
+
+
+def quantized_matmul(x: jnp.ndarray,
+                     params: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """``x @ dequant(params)`` with fp32 MXU accumulation. Under the
+    layer scan only one layer's dense kernel is live at a time."""
+    w = dequantize(params, dtype=x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def quantize_params(linear_params: dict, mode: str) -> dict:
+    """Quantize one linear param dict, keeping bias/lora leaves."""
+    if 'qvalue' in linear_params:
+        return linear_params
+    fn = {'8bit': quantize_int8, '4bit': quantize_nf4,
+          '8bitexperimental': quantize_int8}[mode]
+    out = {k: v for k, v in linear_params.items() if k != 'kernel'}
+    out.update(fn(linear_params['kernel']))
+    return out
+
+
+def quantize_model_params(params: dict, cfg, mode: str = '8bit') -> dict:
+    """Quantize attention + MLP linears (reference walks the same set:
+    q/k/v/out + the two/three MLP linears, esme/esm.py:448-472)."""
+    assert mode in {'8bit', '4bit', '8bitexperimental'}, mode
+    params = dict(params)
+    layers = {k: dict(v) for k, v in params['layers'].items()}
+
+    for name in ('q', 'k', 'v', 'out'):
+        layers['attn'] = dict(layers['attn'])
+        layers['attn'][name] = quantize_params(layers['attn'][name], mode)
+    mlp_linears = ('gate', 'up', 'down') if cfg.mlp == 'swiglu' \
+        else ('fc1', 'fc2')
+    layers['mlp'] = dict(layers['mlp'])
+    for name in mlp_linears:
+        layers['mlp'][name] = quantize_params(layers['mlp'][name], mode)
+
+    params['layers'] = layers
+    return params

@@ -1,0 +1,276 @@
+"""Training loops: masked-LM pretraining and regression fine-tuning.
+
+TPU-native replacement for the reference's Lightning modules
+(reference: esme/trainer.py:8-104). Instead of a framework, two small
+classes own an optax optimizer and a jitted, donated train step over
+the pure model forward. Equivalents provided:
+
+* gradient accumulation  → ``optax.MultiSteps``
+  (reference: workflow/train/runtime_lightning.py:106)
+* ``mark_only_lora_as_trainable`` → ``optax.masked`` over the model's
+  :meth:`trainable_filter` boolean pytree (reference: esme/lora.py:97-108)
+* activation checkpointing → ``jax.checkpoint`` inside the layer scan,
+  enabled by the model's ``checkpointing`` flag
+  (reference: esme/esm.py:19-25,244-245)
+* two-LR param groups (head vs plm) → ``optax.multi_transform``
+  (reference: esme/trainer.py:92-103)
+
+Batches are the data plane's :class:`esme_tpu.data.PackedBatch` with
+static shapes, so the step compiles exactly once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..loss import cross_entropy, mse_loss
+from ..models.esm import forward_flat, packed_meta
+from ..models.heads import apply_learned_aggregation, apply_cls_head
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def _spearman(pred: np.ndarray, target: np.ndarray) -> float:
+    """Spearman rank correlation (torchmetrics equivalent,
+    reference: esme/trainer.py:59-60)."""
+    def rank(a):
+        order = np.argsort(a)
+        r = np.empty_like(order, dtype=np.float64)
+        r[order] = np.arange(len(a))
+        return r
+    rp, rt = rank(pred), rank(target)
+    rp -= rp.mean()
+    rt -= rt.mean()
+    denom = np.sqrt((rp ** 2).sum() * (rt ** 2).sum())
+    return float((rp * rt).sum() / denom) if denom > 0 else 0.0
+
+
+class MaskedPLM:
+    """Masked-LM training (reference: esme/trainer.py:8-44).
+
+    Args:
+        model: an :class:`esme_tpu.models.esm._ESMBase` instance.
+        learning_rate: Adam learning rate (reference default 1e-4).
+        grad_accum: accumulate this many microbatches per optimizer step.
+        lora_only: restrict training to LoRA adapters (None = auto:
+            LoRA-only iff adapters exist).
+        optimizer: override the optax optimizer entirely.
+    """
+
+    def __init__(self, model, learning_rate: float = 1e-4,
+                 grad_accum: int = 1, lora_only=None, train_lmhead=False,
+                 weight_decay: float = 0.0, optimizer=None,
+                 attn_impl: str = 'auto'):
+        self.model = model
+        self.attn_impl = attn_impl
+
+        if optimizer is None:
+            optimizer = optax.adamw(learning_rate,
+                                    weight_decay=weight_decay) \
+                if weight_decay else optax.adam(learning_rate)
+        mask = model.trainable_filter(lora_only=lora_only,
+                                      train_lmhead=train_lmhead)
+        if not jax.tree_util.tree_all(jax.tree.map(bool, mask)):
+            # NB optax.masked passes raw grads through for frozen
+            # leaves; multi_transform + set_to_zero actually freezes
+            labels = jax.tree.map(
+                lambda m: 'train' if m else 'freeze', mask)
+            optimizer = optax.multi_transform(
+                {'train': optimizer, 'freeze': optax.set_to_zero()},
+                labels)
+        if grad_accum > 1:
+            optimizer = optax.MultiSteps(optimizer, grad_accum)
+        self.optimizer = optimizer
+        self.state = TrainState(
+            params=model.params,
+            opt_state=optimizer.init(model.params),
+            step=jnp.zeros((), jnp.int32))
+
+    def _loss_fn(self, params, masked_tokens, seg_ids, pos_ids, targets,
+                 mask, max_seqlen):
+        logits = forward_flat(
+            params, self.model.config, masked_tokens, seg_ids, pos_ids,
+            with_head=True, attn_impl=self.attn_impl,
+            checkpointing=self.model.checkpointing, max_seqlen=max_seqlen)
+        return cross_entropy(logits, targets, mask)
+
+    @partial(jax.jit, static_argnames=('self', 'max_seqlen'),
+             donate_argnames=('state',))
+    def _step(self, state: TrainState, masked_tokens, seg_ids, pos_ids,
+              targets, mask, max_seqlen: int):
+        loss, grads = jax.value_and_grad(self._loss_fn)(
+            state.params, masked_tokens, seg_ids, pos_ids, targets, mask,
+            max_seqlen)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def training_step(self, batch) -> float:
+        """One (micro)batch step; returns the loss
+        (reference: esme/trainer.py:31-35)."""
+        cu_lens = jnp.asarray(batch.cu_lens, jnp.int32)
+        seg_ids, pos_ids = packed_meta(cu_lens, batch.tokens.shape[0])
+        self.state, loss = self._step(
+            self.state,
+            jnp.asarray(batch.masked_tokens, jnp.int32), seg_ids, pos_ids,
+            jnp.asarray(batch.tokens, jnp.int32),
+            jnp.asarray(batch.mask),
+            int(batch.max_len))
+        self.model.params = self.state.params
+        return float(loss)
+
+    def validation_step(self, batch) -> float:
+        """Loss without updates (reference: esme/trainer.py:37-41)."""
+        cu_lens = jnp.asarray(batch.cu_lens, jnp.int32)
+        seg_ids, pos_ids = packed_meta(cu_lens, batch.tokens.shape[0])
+        loss = self._loss_fn(self.state.params,
+                             jnp.asarray(batch.masked_tokens, jnp.int32),
+                             seg_ids, pos_ids,
+                             jnp.asarray(batch.tokens, jnp.int32),
+                             jnp.asarray(batch.mask),
+                             int(batch.max_len))
+        return float(loss)
+
+    def fit(self, dataset, epochs: int = 1, val_dataset=None,
+            log_every: int = 0, set_epoch=None):
+        """Simple epoch loop over an iterable of PackedBatch."""
+        history = []
+        for epoch in range(epochs):
+            if set_epoch is not None:
+                set_epoch(epoch)
+            for i, batch in enumerate(dataset):
+                loss = self.training_step(batch)
+                history.append(loss)
+                if log_every and i % log_every == 0:
+                    print(f'epoch {epoch} step {i}: loss {loss:.4f}')
+            if val_dataset is not None:
+                vlosses = [self.validation_step(b) for b in val_dataset]
+                print(f'epoch {epoch}: val_loss '
+                      f'{float(np.mean(vlosses)):.4f}')
+        return history
+
+
+class RegressionTrainer:
+    """PLM + pooled head regression fine-tuning
+    (reference: esme/trainer.py:47-104).
+
+    ``head='aggregation'`` uses the learned-attention-aggregation head
+    (reference: esme/pooling.py:182-228); ``head='cls'`` the mean-pool
+    MLP head (reference: esme/head.py:30-68). Separate learning rates
+    for head and trunk via ``optax.multi_transform``
+    (reference: esme/trainer.py:92-103).
+    """
+
+    def __init__(self, model, head_params, head: str = 'aggregation',
+                 head_lr: float = 1e-3, lr: float = 1e-4,
+                 head_attention_heads: int = 4, lora_only=None,
+                 attn_impl: str = 'auto'):
+        self.model = model
+        self.head = head
+        self.head_attention_heads = head_attention_heads
+        self.attn_impl = attn_impl
+
+        params = {'plm': model.params, 'head': head_params}
+
+        plm_mask = model.trainable_filter(lora_only=lora_only)
+        plm_trainable = jax.tree_util.tree_all(
+            jax.tree.map(bool, plm_mask))
+
+        label_tree = {'plm': jax.tree.map(lambda _: 'plm', model.params),
+                      'head': jax.tree.map(lambda _: 'head', head_params)}
+        if plm_trainable:
+            plm_tx = optax.adam(lr)
+        else:
+            plm_labels = jax.tree.map(
+                lambda m: 'train' if m else 'freeze', plm_mask)
+            plm_tx = optax.multi_transform(
+                {'train': optax.adam(lr), 'freeze': optax.set_to_zero()},
+                plm_labels)
+        tx = optax.multi_transform(
+            {'plm': plm_tx, 'head': optax.adam(head_lr)},
+            label_tree)
+        self.optimizer = tx
+        self.state = TrainState(params=params,
+                                opt_state=tx.init(params),
+                                step=jnp.zeros((), jnp.int32))
+
+    def _predict(self, params, tokens, seg_ids, pos_ids, num_segments,
+                 max_seqlen):
+        rep = forward_flat(
+            params['plm'], self.model.config, tokens, seg_ids, pos_ids,
+            with_head=False, attn_impl=self.attn_impl,
+            checkpointing=self.model.checkpointing, max_seqlen=max_seqlen)
+        if self.head == 'aggregation':
+            return apply_learned_aggregation(
+                params['head'], rep, seg_ids, num_segments,
+                self.head_attention_heads)
+        return apply_cls_head(params['head'], rep, seg_ids, num_segments)
+
+    def _loss_fn(self, params, tokens, seg_ids, pos_ids, labels, weight,
+                 num_segments, max_seqlen):
+        pred = self._predict(params, tokens, seg_ids, pos_ids,
+                             num_segments, max_seqlen)
+        return mse_loss(pred, labels, weight)
+
+    @partial(jax.jit, static_argnames=('self', 'num_segments',
+                                       'max_seqlen'),
+             donate_argnames=('state',))
+    def _step(self, state, tokens, seg_ids, pos_ids, labels, weight,
+              num_segments: int, max_seqlen: int):
+        loss, grads = jax.value_and_grad(self._loss_fn)(
+            state.params, tokens, seg_ids, pos_ids, labels, weight,
+            num_segments, max_seqlen)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    def _batch_meta(self, batch):
+        cu_lens = jnp.asarray(batch.cu_lens, jnp.int32)
+        seg_ids, pos_ids = packed_meta(cu_lens, batch.tokens.shape[0])
+        num_segments = int(batch.cu_lens.shape[0]) - 1
+        # padded (repeated-tail) segments carry zero loss weight
+        lens = np.diff(np.asarray(batch.cu_lens))
+        weight = jnp.asarray((lens > 0).astype(np.float32))
+        return cu_lens, seg_ids, pos_ids, num_segments, weight
+
+    def training_step(self, batch) -> float:
+        _, seg_ids, pos_ids, num_segments, weight = self._batch_meta(batch)
+        self.state, loss = self._step(
+            self.state, jnp.asarray(batch.tokens, jnp.int32),
+            seg_ids, pos_ids, jnp.asarray(batch.labels), weight,
+            num_segments, int(batch.max_len))
+        self.model.params = self.state.params['plm']
+        return float(loss)
+
+    def predict(self, batch) -> np.ndarray:
+        _, seg_ids, pos_ids, num_segments, weight = self._batch_meta(batch)
+        pred = self._predict(self.state.params,
+                             jnp.asarray(batch.tokens, jnp.int32),
+                             seg_ids, pos_ids, num_segments,
+                             int(batch.max_len))
+        n_real = int(np.asarray(weight).sum())
+        return np.asarray(pred)[:n_real]
+
+    def validation_metrics(self, dataset) -> dict:
+        """val MSE + Spearman (reference: esme/trainer.py:59-60,95-98)."""
+        preds, targets = [], []
+        for batch in dataset:
+            p = self.predict(batch)
+            preds.append(p)
+            targets.append(np.asarray(batch.labels)[:len(p)])
+        pred = np.concatenate(preds)
+        target = np.concatenate(targets)
+        return {'val_mse': float(((pred - target) ** 2).mean()),
+                'val_spearman': _spearman(pred, target)}

@@ -10,15 +10,16 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      os.path.expanduser('~/.cache/jax_test_cache'))
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
-
 import jax
 
 # The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS from the
-# environment; the config update is authoritative.
+# environment; the config update is authoritative. Same for the
+# compilation cache dir (env var is read before sitecustomize's early
+# jax import).
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.expanduser('~/.cache/jax_test_cache'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 import numpy as np
 import pytest

@@ -1,0 +1,100 @@
+"""Training-loop tests: loss decreases, LoRA-only updates, regression
+fine-tune (reference strategy: MaskedPLM/RegressionTrainer usage in
+workflow/train + workflow/meltome)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from esme_tpu import ESM2, MaskedFastaTokenDataset
+from esme_tpu.data import LabeledDataset
+from esme_tpu.models.config import esm2_config
+from esme_tpu.models.heads import init_learned_aggregation
+from esme_tpu.train import MaskedPLM, RegressionTrainer
+
+
+def tiny(checkpointing=False):
+    cfg = esm2_config(num_layers=2, embed_dim=64, attention_heads=4,
+                      dtype='float32')
+    return ESM2(config=cfg, rng=0, checkpointing=checkpointing)
+
+
+def test_masked_plm_loss_decreases(fasta_path):
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    trainer = MaskedPLM(tiny(), learning_rate=1e-3)
+    batch = ds[0]
+    first = trainer.training_step(batch)
+    for _ in range(10):
+        last = trainer.training_step(batch)
+    assert last < first
+
+
+def test_masked_plm_checkpointing_matches(fasta_path):
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    batch = ds[0]
+    t1 = MaskedPLM(tiny(False), learning_rate=1e-3)
+    t2 = MaskedPLM(tiny(True), learning_rate=1e-3)
+    l1 = t1.training_step(batch)
+    l2 = t2.training_step(batch)
+    np.testing.assert_allclose(l1, l2, rtol=1e-4)
+
+
+def test_masked_plm_lora_only_updates(fasta_path):
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    model = tiny()
+    model.add_lora(rank=4, alpha=8)
+    before_embed = np.asarray(model.params['embed_tokens']).copy()
+    before_kernel = np.asarray(
+        model.params['layers']['attn']['q']['kernel']).copy()
+    trainer = MaskedPLM(model, learning_rate=1e-2)
+    for _ in range(3):
+        trainer.training_step(ds[0])
+    after = trainer.state.params
+    np.testing.assert_array_equal(np.asarray(after['embed_tokens']),
+                                  before_embed)
+    np.testing.assert_array_equal(
+        np.asarray(after['layers']['attn']['q']['kernel']), before_kernel)
+    # but the adapters moved
+    b = np.asarray(after['layers']['attn']['q']['lora']['default']['b'])
+    assert np.abs(b).max() > 0
+
+
+def test_masked_plm_grad_accum(fasta_path):
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    model = tiny()
+    before = np.asarray(model.params['embed_tokens']).copy()
+    trainer = MaskedPLM(model, learning_rate=1e-3, grad_accum=2)
+    trainer.training_step(ds[0])
+    # after 1 microstep, params unchanged (accumulating)
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.params['embed_tokens']), before)
+    trainer.training_step(ds[0])
+    assert np.abs(np.asarray(trainer.state.params['embed_tokens'])
+                  - before).max() > 0
+
+
+def test_regression_trainer_learns():
+    rng = np.random.default_rng(0)
+    # target = sequence length (easily learnable from pooling)
+    seqs = ['M' * int(n) for n in rng.integers(5, 40, 24)]
+    labels = [len(s) / 40.0 for s in seqs]
+    ds = LabeledDataset(seqs, labels, token_per_batch=512, shuffle=False)
+
+    model = tiny()
+    head = init_learned_aggregation(0, embed_dim=64, num_cls=1,
+                                    attention_heads=4, dtype=jnp.float32)
+    trainer = RegressionTrainer(model, head, head_lr=5e-3, lr=1e-4)
+    losses = []
+    for _ in range(15):
+        for batch in ds:
+            losses.append(trainer.training_step(batch))
+    assert losses[-1] < losses[0]
+    metrics = trainer.validation_metrics(ds)
+    assert 'val_spearman' in metrics
+    assert metrics['val_spearman'] > 0.5
