@@ -1,0 +1,85 @@
+"""Whole-proteome throughput: packed token_per_batch=50k vs padded
+batch=8 baseline over an indexed FASTA
+(reference: workflow/inference/inference_on_human.py:9-18,55-67).
+
+Usage:
+  python benchmarks/inference_on_proteome.py --fasta proteome.fa \
+      --model esm2_650m --token-per-batch 50000
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--fasta', required=True)
+    ap.add_argument('--model', default='esm2_650m')
+    ap.add_argument('--token-per-batch', type=int, default=50_000)
+    ap.add_argument('--max-len', type=int, default=3500)
+    ap.add_argument('--baseline', action='store_true',
+                    help='also run the padded batch=8 baseline')
+    ap.add_argument('--limit-batches', type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import os
+    from esme_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    from esme_tpu.data import FastaDataset, FastaTokenDataset, Prefetcher
+    from esme_tpu.models.config import config_for
+    from esme_tpu.models.esm import ESM, _class_for, forward_flat, \
+        packed_meta
+
+    if os.path.isfile(args.model):
+        model = ESM.from_pretrained(args.model)
+    else:
+        cfg = config_for(args.model)
+        model = _class_for(cfg.family)(config=cfg, rng=0)
+
+    ds = FastaTokenDataset(args.fasta, token_per_batch=args.token_per_batch,
+                           max_len=args.max_len, shuffle=False,
+                           alphabet=model.alphabet)
+    cfg = model.config
+
+    total_tokens = 0
+    n = 0
+    t0 = time.time()
+    for batch in Prefetcher(ds, depth=2):
+        tj = jnp.asarray(batch.tokens)
+        seg, pos = packed_meta(jnp.asarray(batch.cu_lens),
+                               batch.tokens.shape[0])
+        out = forward_flat(model.params, cfg, tj, seg, pos,
+                           with_head=True, max_seqlen=int(batch.max_len))
+        out.block_until_ready()
+        total_tokens += batch.num_tokens
+        n += 1
+        if args.limit_batches and n >= args.limit_batches:
+            break
+    dt = time.time() - t0
+    print(f'packed: {n} batches, {total_tokens} tokens, {dt:.1f}s, '
+          f'{total_tokens / dt:.0f} tokens/sec')
+
+    if args.baseline:
+        pd_ds = FastaDataset(args.fasta, max_len=args.max_len,
+                             alphabet=model.alphabet)
+        t0 = time.time()
+        done = 0
+        for i, padded in enumerate(pd_ds.batches(8)):
+            out = model.forward(padded)
+            out.block_until_ready()
+            done += padded.size
+            if args.limit_batches and i + 1 >= args.limit_batches:
+                break
+        dt_b = time.time() - t0
+        print(f'padded baseline: {done} padded tokens, {dt_b:.1f}s, '
+              f'{done / dt_b:.0f} tokens/sec (incl. pad waste)')
+
+
+if __name__ == '__main__':
+    main()

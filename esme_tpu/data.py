@@ -165,11 +165,24 @@ class FastaTokenDataset(BaseFastaDataset):
 
     def __init__(self, fasta, fai=None, token_per_batch=50_000, k_sample=None,
                  max_len=None, drop_last=False, shuffle=True,
-                 random_state=None, alphabet=Alphabet3, pad_to_budget=True):
+                 random_state=None, alphabet=Alphabet3, pad_to_budget=True,
+                 use_native=None):
         super().__init__(fasta, fai=fai, k_sample=k_sample, max_len=max_len,
                          alphabet=alphabet)
         self.token_per_batch = token_per_batch
         self.pad_to_budget = pad_to_budget
+
+        # native (C++ mmap) read+tokenize path; None = auto
+        self._native = None
+        if use_native is not False and pad_to_budget:
+            try:
+                from .native import NativeFasta
+                self._native = NativeFasta(self.fasta.fasta,
+                                           self.fasta.fai, alphabet)
+            except Exception:
+                if use_native is True:
+                    raise
+                self._native = None
 
         lengths = self.fasta.lengths()
         longest = max(lengths, default=0) + 2
@@ -189,6 +202,14 @@ class FastaTokenDataset(BaseFastaDataset):
 
     def __getitem__(self, idx) -> PackedBatch:
         indices = self.sampler[idx]
+        if self._native is not None:
+            tokens, cu_lens, max_len = self._native.tokenize_pack(
+                indices, self.token_per_batch)
+            cu_lens = np.pad(cu_lens,
+                             (0, self.max_segments - len(indices)),
+                             mode='edge')
+            return PackedBatch(tokens=tokens, cu_lens=cu_lens,
+                               max_len=max_len)
         tokens, tok_indices, cu_lens, max_len = tokenize_unpad(
             [self.read_seq(i) for i in indices], alphabet=self.alphabet)
         if self.pad_to_budget:

@@ -1,0 +1,70 @@
+"""Benchmarking and profiling helpers.
+
+TPU equivalents of the reference's measurement tools
+(reference: workflow/utils/memory.py:4-16 peak-memory helper,
+workflow/inference/inference_runtime.py:36-52 timed reps):
+
+* :func:`benchmark` — mean seconds over N reps after a warmup/compile
+  call (the ``torch.utils.benchmark.Timer`` analogue);
+* :func:`device_memory_stats` — per-device HBM usage (the
+  ``max_memory_allocated`` analogue);
+* :func:`trace` — context manager around ``jax.profiler`` for
+  TensorBoard-viewable traces (no reference equivalent; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+
+
+def benchmark(fn: Callable, *args, reps: int = 10,
+              warmup: int = 1) -> float:
+    """Mean wall-clock seconds per call, post-compile."""
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps
+
+
+def device_memory_stats(device=None) -> dict:
+    """Bytes in use / peak / limit for a device (HBM). Returns {} when
+    the backend doesn't expose stats (CPU)."""
+    device = device or jax.devices()[0]
+    try:
+        stats = device.memory_stats()
+    except Exception:
+        return {}
+    if not stats:
+        return {}
+    return {
+        'bytes_in_use': stats.get('bytes_in_use'),
+        'peak_bytes_in_use': stats.get('peak_bytes_in_use'),
+        'bytes_limit': stats.get('bytes_limit'),
+    }
+
+
+def peak_memory_gb(device=None) -> Optional[float]:
+    """(reference: workflow/utils/memory.py:4-16)"""
+    stats = device_memory_stats(device)
+    peak = stats.get('peak_bytes_in_use')
+    return peak / 2 ** 30 if peak is not None else None
+
+
+@contextlib.contextmanager
+def trace(logdir: str = '/tmp/esme_tpu_trace'):
+    """``with trace('/tmp/t'):`` captures a profiler trace viewable in
+    TensorBoard / xprof."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()

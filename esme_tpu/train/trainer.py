@@ -70,7 +70,7 @@ class MaskedPLM:
     def __init__(self, model, learning_rate: float = 1e-4,
                  grad_accum: int = 1, lora_only=None, train_lmhead=False,
                  weight_decay: float = 0.0, optimizer=None,
-                 attn_impl: str = 'auto'):
+                 attn_impl: str = 'auto', trainable_mask=None):
         self.model = model
         self.attn_impl = attn_impl
 
@@ -78,8 +78,11 @@ class MaskedPLM:
             optimizer = optax.adamw(learning_rate,
                                     weight_decay=weight_decay) \
                 if weight_decay else optax.adam(learning_rate)
-        mask = model.trainable_filter(lora_only=lora_only,
-                                      train_lmhead=train_lmhead)
+        # custom mask (e.g. positional-extension training,
+        # esme_tpu.extend.positions_only_mask) overrides the default
+        mask = trainable_mask if trainable_mask is not None else \
+            model.trainable_filter(lora_only=lora_only,
+                                   train_lmhead=train_lmhead)
         if not jax.tree_util.tree_all(jax.tree.map(bool, mask)):
             # NB optax.masked passes raw grads through for frozen
             # leaves; multi_transform + set_to_zero actually freezes
