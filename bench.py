@@ -67,16 +67,20 @@ def main():
     seg_ids, pos_ids = packed_meta(jnp.asarray(cu), token_budget)
 
     impl = 'flash' if on_tpu else 'reference'
-    packed_fn = jax.jit(lambda t, s, p: forward_flat(
-        model.params, cfg, t, s, p, with_head=True,
-        attn_impl=impl, max_seqlen=max_len))
 
-    out = packed_fn(tokens_j, seg_ids, pos_ids)
-    out.block_until_ready()
+    # NB params must flow as ARGUMENTS (forward_flat is itself jitted);
+    # closing over them in an outer jit would inline 1.3GB of weights
+    # as module constants and blow up compilation
+    def packed_fn(t, s, p):
+        return forward_flat(model.params, cfg, t, s, p, with_head=True,
+                            attn_impl=impl, max_seqlen=max_len)
+
+    # block every iteration: on the tunneled runtime, blocking only on
+    # the last output has been observed not to await prior executes
+    np.asarray(packed_fn(tokens_j, seg_ids, pos_ids))   # compile+warm
     t0 = time.time()
     for _ in range(reps):
-        out = packed_fn(tokens_j, seg_ids, pos_ids)
-    out.block_until_ready()
+        packed_fn(tokens_j, seg_ids, pos_ids).block_until_ready()
     dt_packed = (time.time() - t0) / reps
     tok_per_sec = real_tokens / dt_packed
 
@@ -108,11 +112,10 @@ def main():
         def padded_fn(t):
             return model.forward(t, attn_impl=impl)
 
-        padded_fn(padded_batches[0]).block_until_ready()   # compile
+        np.asarray(padded_fn(padded_batches[0]))           # compile+warm
         t0 = time.time()
         for pb in padded_batches:
-            out = padded_fn(pb)
-        out.block_until_ready()
+            padded_fn(pb).block_until_ready()
         dt_padded = time.time() - t0
         vs_baseline = (dt_padded / real_tokens) / (dt_packed / real_tokens)
         extra['ms_padded_total'] = round(dt_padded * 1e3, 2)

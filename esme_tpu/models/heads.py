@@ -75,3 +75,18 @@ def apply_learned_aggregation(params, x, seg_ids, num_segments,
     h = jax.nn.relu(linear(pooled, params['linear']))
     out = linear(h, params['final'])[..., 0]        # (S, C)
     return out[..., 0] if out.shape[-1] == 1 else out
+
+
+def init_feed_forward(rng, embed_dim, hidden_dim, out_dim=None,
+                      dtype=jnp.bfloat16):
+    """Plain ReLU MLP utility (reference: esme/layer.py:1-23)."""
+    out_dim = out_dim or embed_dim
+    k1, k2 = jax.random.split(jax.random.key(rng) if isinstance(rng, int)
+                              else rng)
+    return {'fc1': _linear_init(k1, embed_dim, hidden_dim, dtype),
+            'fc2': _linear_init(k2, hidden_dim, out_dim, dtype)}
+
+
+def apply_feed_forward(params, x):
+    """(reference: esme/layer.py:14-23)"""
+    return linear(jax.nn.relu(linear(x, params['fc1'])), params['fc2'])
