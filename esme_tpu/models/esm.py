@@ -78,11 +78,17 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                               if k != 'layers'})
         params = {**outer, 'layers': params['layers']}
     x = _embed_flat(params, cfg, tokens, pos_ids)
+    rope = None
+    if cfg.rotary:
+        # compute cos/sin once; inside the scan they are loop-invariant
+        from ..ops.rotary import rotary_cos_sin
+        rope = rotary_cos_sin(pos_ids, cfg.head_dim, dtype=x.dtype)
     x, reps = layer_stack(x, params['layers'], cfg, seg_ids, pos_ids,
                           lora_names=lora_names, attn_impl=attn_impl,
                           checkpointing=checkpointing,
                           collect_layers=collect_layers,
-                          max_seqlen=max_seqlen, gather_fn=layer_gather)
+                          max_seqlen=max_seqlen, gather_fn=layer_gather,
+                          rope=rope)
     x = apply_norm(x, params['emb_norm_after'])
 
     if with_head:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..ops.attention import segment_attention
 from ..ops.linear import linear
 from ..ops.norm import apply_norm
-from ..ops.rotary import apply_rotary_qk
+from ..ops.rotary import apply_rotary, apply_rotary_qk, rotary_cos_sin
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -31,7 +31,8 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
 def attention_block(x, params, cfg, seg_ids, pos_ids,
                     lora_names: Optional[Sequence[str]] = None,
                     attn_impl: str = 'auto',
-                    max_seqlen: Optional[int] = None):
+                    max_seqlen: Optional[int] = None,
+                    rope: Optional[tuple] = None):
     """Multi-head self-attention over the packed layout
     (reference: esme/attention.py:91-139).
 
@@ -55,7 +56,12 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
     v = v.reshape(T, H, Dh)
 
     if cfg.rotary:
-        q, k = apply_rotary_qk(q, k, pos_ids)
+        if rope is not None:           # precomputed once per forward
+            cos, sin = rope
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+        else:
+            q, k = apply_rotary_qk(q, k, pos_ids)
 
     o = segment_attention(q, k, v, seg_ids, impl=attn_impl,
                           max_seqlen=max_seqlen)
@@ -79,12 +85,14 @@ def mlp_block(x, params, cfg):
 
 def transformer_layer(x, params, cfg, seg_ids, pos_ids,
                       lora_names=None, attn_impl: str = 'auto',
-                      max_seqlen: Optional[int] = None):
+                      max_seqlen: Optional[int] = None,
+                      rope: Optional[tuple] = None):
     """Pre-norm residual block with residue scaling
     (reference: esme/attention.py:241-255)."""
     inv_scale = 1.0 / cfg.residue_scaling
     x = x + attention_block(x, params['attn'], cfg, seg_ids, pos_ids,
-                            lora_names, attn_impl, max_seqlen) * inv_scale
+                            lora_names, attn_impl, max_seqlen,
+                            rope) * inv_scale
     x = x + mlp_block(x, params['mlp'], cfg) * inv_scale
     return x
 
@@ -92,7 +100,8 @@ def transformer_layer(x, params, cfg, seg_ids, pos_ids,
 def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
                 attn_impl: str = 'auto', checkpointing: bool = False,
                 collect_layers: Optional[Sequence[int]] = None,
-                max_seqlen: Optional[int] = None, gather_fn=None):
+                max_seqlen: Optional[int] = None, gather_fn=None,
+                rope: Optional[tuple] = None):
     """Run all layers via ``lax.scan`` over stacked per-layer params.
 
     ``gather_fn`` (FSDP hook) all-gathers one layer's param shards
@@ -107,7 +116,7 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
         if gather_fn is not None:
             layer_params = gather_fn(layer_params)
         out = transformer_layer(carry, layer_params, cfg, seg_ids, pos_ids,
-                                lora_names, attn_impl, max_seqlen)
+                                lora_names, attn_impl, max_seqlen, rope)
         return out, (out if collect_layers else None)
 
     if checkpointing:

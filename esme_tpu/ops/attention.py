@@ -52,7 +52,7 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       seg_ids: jnp.ndarray, *, impl: str = 'auto',
-                      block_q: int = 512, block_k: int = 512,
+                      block_q: int = 1024, block_k: int = 512,
                       max_seqlen: int | None = None) -> jnp.ndarray:
     """Dispatch between the einsum reference path and the Pallas
     segment-flash kernel.
@@ -64,7 +64,7 @@ def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     if impl == 'auto':
         on_tpu = jax.default_backend() == 'tpu'
-        impl = 'flash' if (on_tpu and q.shape[0] >= 2 * block_q) else 'reference'
+        impl = 'flash' if (on_tpu and q.shape[0] >= block_q) else 'reference'
 
     if impl == 'reference':
         return attention_reference(q, k, v, seg_ids)

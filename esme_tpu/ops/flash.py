@@ -438,7 +438,7 @@ def _flash_bwd_vjp(block_q, block_k, max_seqlen, interpret, res, do):
 _flash_core.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
 
 
-def flash_segment_attention(q, k, v, seg_ids, *, block_q: int = 512,
+def flash_segment_attention(q, k, v, seg_ids, *, block_q: int = 1024,
                             block_k: int = 512,
                             max_seqlen: int | None = None,
                             interpret: bool | None = None) -> jnp.ndarray:
