@@ -52,7 +52,7 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       seg_ids: jnp.ndarray, *, impl: str = 'auto',
-                      block_q: int = 1024, block_k: int = 512,
+                      block_q: int = 256, block_k: int = 512,
                       max_seqlen: int | None = None) -> jnp.ndarray:
     """Dispatch between the einsum reference path and the Pallas
     segment-flash kernel.

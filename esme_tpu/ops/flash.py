@@ -17,6 +17,12 @@ Design (SURVEY.md §7 deviation 2):
   clamp to a repeated block index, which skips the copy, and their
   compute is predicated off. For a 50k-token batch of ~500-aa proteins
   this skips ~98% of tiles — flash-attn-varlen asymptotics;
+* **head grouping**: TPU grid steps have a fixed ~6µs scheduling cost
+  that dwarfs the (bq,64)×(64,bk) matmuls of a single 64-dim head, so
+  each grid step processes ``head_block`` heads at once via batched
+  ``dot_general`` — 10-20× fewer grid steps for the same FLOPs. The
+  group size is chosen so the fp32 (hb, bq, bk) score tensor and the
+  double-buffered tiles stay inside ~16MB of VMEM;
 * ``max_span`` is static: derived from the data plane's ``max_len``
   (the longest packed sequence) as ceil((bq + 2·max_len)/bk) + 1;
 * fp32 online-softmax state and fp32 MXU accumulation; bf16 operands;
@@ -24,7 +30,7 @@ Design (SURVEY.md §7 deviation 2):
   mask orientations broadcast without in-kernel transposes.
 
 Backward is the standard two-kernel flash decomposition (dq by q-block,
-dk/dv by k-block) re-using the same span machinery via
+dk/dv by k-block) re-using the same span + head-group machinery via
 ``jax.custom_vjp``.
 """
 
@@ -39,6 +45,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+# Budgets for the fp32 (hb, bq, bk) score tensor of one grid step,
+# calibrated on v5e against the 16MB scoped-VMEM limit (the compiler
+# keeps ~3 score-sized temporaries live in the fwd kernel and ~5 in the
+# bwd kernels, plus double-buffered tiles): tools/tune_flash.py sweep.
+_FWD_SCORE_BUDGET = 4 * 1024 * 1024
+_BWD_SCORE_BUDGET = int(2.5 * 1024 * 1024)
+# Beyond ~5 grouped heads register/retiling pressure OOMs even when the
+# score tensor is small (hb=10 at bq=bk=256 fails with 2.5MB of scores).
+_MAX_HEAD_BLOCK = 5
 
 
 def block_spans(seg_ids: jnp.ndarray, block_q: int, block_k: int):
@@ -72,8 +88,9 @@ def block_spans(seg_ids: jnp.ndarray, block_q: int, block_k: int):
     return kstart, kend, qstart, qend
 
 
-def _dot(a, b, dims):
-    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+def _bdot(a, b, contract, batch=((0,), (0,))):
+    """Batched matmul over the head-group dim with fp32 accumulation."""
+    return jax.lax.dot_general(a, b, dimension_numbers=(contract, batch),
                                preferred_element_type=jnp.float32)
 
 
@@ -84,6 +101,17 @@ def _span_cap(T, block_q, block_k, max_seqlen):
         return nkb
     cap = -(-(block_q + 2 * max_seqlen) // block_k) + 1
     return min(nkb, cap)
+
+
+def _head_block(H, block_q, block_k, budget):
+    """Largest divisor of H (≤ _MAX_HEAD_BLOCK) whose fp32 score tensor
+    fits ``budget`` bytes."""
+    per_head = block_q * block_k * 4
+    best = 1
+    for hb in range(1, min(H, _MAX_HEAD_BLOCK) + 1):
+        if H % hb == 0 and hb * per_head <= budget:
+            best = hb
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -107,17 +135,17 @@ def _fwd_kernel(kstart_ref, kend_ref,
 
     @pl.when(jj < kend_ref[i] - kstart_ref[i])
     def _():
-        qb = q_ref[0]                                # (bq, d)
-        s = _dot(qb, k_ref[0], ((1,), (1,))) * scale  # (bq, bk)
-        mask = segq_ref[:] == segk_ref[:]            # (bq,1) == (1,bk)
+        qb = q_ref[:]                                # (hb, bq, d)
+        s = _bdot(qb, k_ref[:], ((2,), (2,))) * scale  # (hb, bq, bk)
+        mask = (segq_ref[:] == segk_ref[:])[None]    # (1, bq, bk)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scr[:]                            # (bq, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_prev = m_scr[:]                            # (hb, bq, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = _dot(p.astype(v_ref.dtype), v_ref[0], ((1,), (0,)))
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        pv = _bdot(p.astype(v_ref.dtype), v_ref[:], ((2,), (1,)))
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
 
@@ -127,49 +155,50 @@ def _fwd_kernel(kstart_ref, kend_ref,
         # fully-masked rows cannot happen for real tokens (every token
         # overlaps its own block); keep padding rows finite anyway
         l_safe = jnp.where(l == 0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:] + jnp.log(l_safe)
+        o_ref[:] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[:] = m_scr[:] + jnp.log(l_safe)
 
 
 def _fwd(q, k, v, seg2d, segT, kstart, kend, *, block_q, block_k,
-         max_span, scale, interpret):
+         head_block, max_span, scale, interpret):
     """q/k/v: (H, T, D). Returns o (H,T,D), lse (H,T,1) fp32."""
     H, T, D = q.shape
     nqb = T // block_q
+    hb = head_block
 
-    def kv_index(h, i, jj, kstart_ref, kend_ref):
+    def kv_index(g, i, jj, kstart_ref, kend_ref):
         j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
-        return (h, j, 0)
+        return (g, j, 0)
 
-    def segk_index(h, i, jj, kstart_ref, kend_ref):
+    def segk_index(g, i, jj, kstart_ref, kend_ref):
         j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
         return (0, j)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(H, nqb, max_span),
+        grid=(H // hb, nqb, max_span),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, jj, *_: (h, i, 0),
+            pl.BlockSpec((hb, block_q, D), lambda g, i, jj, *_: (g, i, 0),
                          memory_space=pltpu.VMEM),        # q
-            pl.BlockSpec((block_q, 1), lambda h, i, jj, *_: (i, 0),
+            pl.BlockSpec((block_q, 1), lambda g, i, jj, *_: (i, 0),
                          memory_space=pltpu.VMEM),        # seg_q (T,1)
-            pl.BlockSpec((1, block_k, D), kv_index,
+            pl.BlockSpec((hb, block_k, D), kv_index,
                          memory_space=pltpu.VMEM),        # k
-            pl.BlockSpec((1, block_k, D), kv_index,
+            pl.BlockSpec((hb, block_k, D), kv_index,
                          memory_space=pltpu.VMEM),        # v
             pl.BlockSpec((1, block_k), segk_index,
                          memory_space=pltpu.VMEM),        # seg_k (1,T)
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda h, i, jj, *_: (h, i, 0),
+            pl.BlockSpec((hb, block_q, D), lambda g, i, jj, *_: (g, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda h, i, jj, *_: (h, i, 0),
+            pl.BlockSpec((hb, block_q, 1), lambda g, i, jj, *_: (g, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((hb, block_q, 1), jnp.float32),
+            pltpu.VMEM((hb, block_q, 1), jnp.float32),
+            pltpu.VMEM((hb, block_q, D), jnp.float32),
         ],
     )
 
@@ -206,23 +235,23 @@ def _dq_kernel(kstart_ref, kend_ref,
 
     @pl.when(jj < kend_ref[i] - kstart_ref[i])
     def _():
-        qb = q_ref[0]
-        dob = do_ref[0]
-        lse = lse_ref[0]                             # (bq, 1)
-        delta = delta_ref[0]                         # (bq, 1)
+        qb = q_ref[:]                                # (hb, bq, d)
+        dob = do_ref[:]
+        lse = lse_ref[:]                             # (hb, bq, 1)
+        delta = delta_ref[:]                         # (hb, bq, 1)
 
-        s = _dot(qb, k_ref[0], ((1,), (1,))) * scale  # (bq, bk)
-        mask = segq_ref[:] == segk_ref[:]
+        s = _bdot(qb, k_ref[:], ((2,), (2,))) * scale  # (hb, bq, bk)
+        mask = (segq_ref[:] == segk_ref[:])[None]
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
 
-        dp = _dot(dob, v_ref[0], ((1,), (1,)))        # (bq, bk)
+        dp = _bdot(dob, v_ref[:], ((2,), (2,)))        # (hb, bq, bk)
         ds = p * (dp - delta) * scale
-        dq_scr[:] = dq_scr[:] + _dot(ds.astype(k_ref.dtype), k_ref[0],
-                                     ((1,), (0,)))
+        dq_scr[:] = dq_scr[:] + _bdot(ds.astype(k_ref.dtype), k_ref[:],
+                                      ((2,), (1,)))
 
     @pl.when(jj == n_span - 1)
     def _():
-        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+        dq_ref[:] = dq_scr[:].astype(dq_ref.dtype)
 
 
 def _dkv_kernel(qstart_ref, qend_ref,
@@ -242,30 +271,30 @@ def _dkv_kernel(qstart_ref, qend_ref,
 
     @pl.when(ii < qend_ref[j] - qstart_ref[j])
     def _():
-        kb = k_ref[0]                                # (bk, d)
-        vb = v_ref[0]
-        qb = q_ref[0]                                # (bq, d)
-        dob = do_ref[0]
-        lse = lse_ref[0]                             # (bq, 1)
-        delta = delta_ref[0]                         # (bq, 1)
+        kb = k_ref[:]                                # (hb, bk, d)
+        vb = v_ref[:]
+        qb = q_ref[:]                                # (hb, bq, d)
+        dob = do_ref[:]
+        lse = lse_ref[:]                             # (hb, bq, 1)
+        delta = delta_ref[:]                         # (hb, bq, 1)
 
-        s = _dot(qb, kb, ((1,), (1,))) * scale       # (bq, bk)
-        mask = segq_ref[:] == segk_ref[:]            # (bq,1) == (1,bk)
+        s = _bdot(qb, kb, ((2,), (2,))) * scale      # (hb, bq, bk)
+        mask = (segq_ref[:] == segk_ref[:])[None]    # (1, bq, bk)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
 
-        # dv (bk, d) = p^T @ do : contract over bq (dims 0,0)
-        dv_scr[:] = dv_scr[:] + _dot(p.astype(dob.dtype), dob,
-                                     ((0,), (0,)))
-        dp = _dot(dob, vb, ((1,), (1,)))             # (bq, bk)
+        # dv (hb, bk, d) = p^T @ do : contract over bq
+        dv_scr[:] = dv_scr[:] + _bdot(p.astype(dob.dtype), dob,
+                                      ((1,), (1,)))
+        dp = _bdot(dob, vb, ((2,), (2,)))            # (hb, bq, bk)
         ds = p * (dp - delta) * scale
-        # dk (bk, d) = ds^T @ q : contract over bq
-        dk_scr[:] = dk_scr[:] + _dot(ds.astype(qb.dtype), qb,
-                                     ((0,), (0,)))
+        # dk (hb, bk, d) = ds^T @ q : contract over bq
+        dk_scr[:] = dk_scr[:] + _bdot(ds.astype(qb.dtype), qb,
+                                      ((1,), (1,)))
 
     @pl.when(ii == n_span - 1)
     def _():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype)
 
 
 def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
@@ -273,15 +302,16 @@ def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
     H, T, D = q.shape
     nqb = T // block_q
     nkb = T // block_k
+    hb = _head_block(H, block_q, block_k, _BWD_SCORE_BUDGET)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)          # (H, T, 1)
 
-    def kv_index(h, i, jj, kstart_ref, kend_ref):
+    def kv_index(g, i, jj, kstart_ref, kend_ref):
         j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
-        return (h, j, 0)
+        return (g, j, 0)
 
-    def segk_index(h, i, jj, kstart_ref, kend_ref):
+    def segk_index(g, i, jj, kstart_ref, kend_ref):
         j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
         return (0, j)
 
@@ -289,35 +319,35 @@ def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
         functools.partial(_dq_kernel, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(H, nqb, max_span_k),
+            grid=(H // hb, nqb, max_span_k),
             in_specs=[
-                pl.BlockSpec((1, block_q, D),
-                             lambda h, i, jj, *_: (h, i, 0),
+                pl.BlockSpec((hb, block_q, D),
+                             lambda g, i, jj, *_: (g, i, 0),
                              memory_space=pltpu.VMEM),   # q
-                pl.BlockSpec((1, block_q, D),
-                             lambda h, i, jj, *_: (h, i, 0),
+                pl.BlockSpec((hb, block_q, D),
+                             lambda g, i, jj, *_: (g, i, 0),
                              memory_space=pltpu.VMEM),   # do
-                pl.BlockSpec((1, block_q, 1),
-                             lambda h, i, jj, *_: (h, i, 0),
+                pl.BlockSpec((hb, block_q, 1),
+                             lambda g, i, jj, *_: (g, i, 0),
                              memory_space=pltpu.VMEM),   # lse
-                pl.BlockSpec((1, block_q, 1),
-                             lambda h, i, jj, *_: (h, i, 0),
+                pl.BlockSpec((hb, block_q, 1),
+                             lambda g, i, jj, *_: (g, i, 0),
                              memory_space=pltpu.VMEM),   # delta
                 pl.BlockSpec((block_q, 1),
-                             lambda h, i, jj, *_: (i, 0),
+                             lambda g, i, jj, *_: (i, 0),
                              memory_space=pltpu.VMEM),   # seg_q (T,1)
-                pl.BlockSpec((1, block_k, D), kv_index,
+                pl.BlockSpec((hb, block_k, D), kv_index,
                              memory_space=pltpu.VMEM),   # k
-                pl.BlockSpec((1, block_k, D), kv_index,
+                pl.BlockSpec((hb, block_k, D), kv_index,
                              memory_space=pltpu.VMEM),   # v
                 pl.BlockSpec((1, block_k), segk_index,
                              memory_space=pltpu.VMEM),   # seg_k (1,T)
             ],
-            out_specs=pl.BlockSpec((1, block_q, D),
-                                   lambda h, i, jj, *_: (h, i, 0),
+            out_specs=pl.BlockSpec((hb, block_q, D),
+                                   lambda g, i, jj, *_: (g, i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((block_q, D), jnp.float32),
+                pltpu.VMEM((hb, block_q, D), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((H, T, D), q.dtype),
@@ -326,11 +356,11 @@ def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
         interpret=interpret,
     )(kstart, kend, q, do, lse, delta, seg2d, k, v, segT)
 
-    def q_index(h, j, ii, qstart_ref, qend_ref):
+    def q_index(g, j, ii, qstart_ref, qend_ref):
         i = jnp.minimum(qstart_ref[j] + ii, qend_ref[j] - 1)
-        return (h, i, 0)
+        return (g, i, 0)
 
-    def segq_index(h, j, ii, qstart_ref, qend_ref):
+    def segq_index(g, j, ii, qstart_ref, qend_ref):
         i = jnp.minimum(qstart_ref[j] + ii, qend_ref[j] - 1)
         return (i, 0)
 
@@ -338,39 +368,39 @@ def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
         functools.partial(_dkv_kernel, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(H, nkb, max_span_q),
+            grid=(H // hb, nkb, max_span_q),
             in_specs=[
-                pl.BlockSpec((1, block_k, D),
-                             lambda h, j, ii, *_: (h, j, 0),
+                pl.BlockSpec((hb, block_k, D),
+                             lambda g, j, ii, *_: (g, j, 0),
                              memory_space=pltpu.VMEM),   # k
-                pl.BlockSpec((1, block_k, D),
-                             lambda h, j, ii, *_: (h, j, 0),
+                pl.BlockSpec((hb, block_k, D),
+                             lambda g, j, ii, *_: (g, j, 0),
                              memory_space=pltpu.VMEM),   # v
                 pl.BlockSpec((1, block_k),
-                             lambda h, j, ii, *_: (0, j),
+                             lambda g, j, ii, *_: (0, j),
                              memory_space=pltpu.VMEM),   # seg_k (1,T)
-                pl.BlockSpec((1, block_q, D), q_index,
+                pl.BlockSpec((hb, block_q, D), q_index,
                              memory_space=pltpu.VMEM),   # q
-                pl.BlockSpec((1, block_q, D), q_index,
+                pl.BlockSpec((hb, block_q, D), q_index,
                              memory_space=pltpu.VMEM),   # do
-                pl.BlockSpec((1, block_q, 1), q_index,
+                pl.BlockSpec((hb, block_q, 1), q_index,
                              memory_space=pltpu.VMEM),   # lse
-                pl.BlockSpec((1, block_q, 1), q_index,
+                pl.BlockSpec((hb, block_q, 1), q_index,
                              memory_space=pltpu.VMEM),   # delta
                 pl.BlockSpec((block_q, 1), segq_index,
                              memory_space=pltpu.VMEM),   # seg_q (T,1)
             ],
             out_specs=[
-                pl.BlockSpec((1, block_k, D),
-                             lambda h, j, ii, *_: (h, j, 0),
+                pl.BlockSpec((hb, block_k, D),
+                             lambda g, j, ii, *_: (g, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_k, D),
-                             lambda h, j, ii, *_: (h, j, 0),
+                pl.BlockSpec((hb, block_k, D),
+                             lambda g, j, ii, *_: (g, j, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((block_k, D), jnp.float32),
-                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((hb, block_k, D), jnp.float32),
+                pltpu.VMEM((hb, block_k, D), jnp.float32),
             ],
         ),
         out_shape=[
@@ -407,15 +437,16 @@ def _flash_core(q, k, v, seg_ids, block_q, block_k, max_seqlen, interpret):
 def _flash_fwd_vjp(q, k, v, seg_ids, block_q, block_k, max_seqlen,
                    interpret):
     """q,k,v: (H, T, D)."""
-    T = q.shape[1]
-    scale = 1.0 / math.sqrt(q.shape[2])
+    H, T, D = q.shape
+    scale = 1.0 / math.sqrt(D)
     seg2d = seg_ids.reshape(T, 1)
     segT = seg_ids.reshape(1, T)
     kstart, kend, _, _ = block_spans(seg_ids, block_q, block_k)
     max_span = _span_cap(T, block_q, block_k, max_seqlen)
+    hb = _head_block(H, block_q, block_k, _FWD_SCORE_BUDGET)
     o, lse = _fwd(q, k, v, seg2d, segT, kstart, kend, block_q=block_q,
-                  block_k=block_k, max_span=max_span, scale=scale,
-                  interpret=interpret)
+                  block_k=block_k, head_block=hb, max_span=max_span,
+                  scale=scale, interpret=interpret)
     return o, (q, k, v, seg_ids, o, lse)
 
 
@@ -438,7 +469,7 @@ def _flash_bwd_vjp(block_q, block_k, max_seqlen, interpret, res, do):
 _flash_core.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
 
 
-def flash_segment_attention(q, k, v, seg_ids, *, block_q: int = 1024,
+def flash_segment_attention(q, k, v, seg_ids, *, block_q: int = 256,
                             block_k: int = 512,
                             max_seqlen: int | None = None,
                             interpret: bool | None = None) -> jnp.ndarray:
@@ -456,9 +487,10 @@ def flash_segment_attention(q, k, v, seg_ids, *, block_q: int = 1024,
 
     T, H, D = q.shape
     t128 = ((T + 127) // 128) * 128
-    block_q = min(block_q, t128)
-    block_k = min(block_k, t128)
-    t_pad = (-T) % max(block_q, block_k)
+    if t128 < block_q or t128 < block_k:
+        # tiny input: one q tile × one k tile
+        block_q = block_k = t128
+    t_pad = (-T) % math.lcm(block_q, block_k)
     seg_fill = _pad_to(seg_ids.astype(jnp.int32), t_pad, 0)
     if t_pad:
         # padded rows get a dedicated fake segment past every real id
