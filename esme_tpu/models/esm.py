@@ -77,6 +77,22 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
         outer = outer_gather({k: v for k, v in params.items()
                               if k != 'layers'})
         params = {**outer, 'layers': params['layers']}
+
+    # Pad ONCE to the flash kernel's zero-copy alignment so the
+    # per-layer kernel calls skip their pad/slice/fake-segment setup
+    # (33 layers × 3 tensors of pad traffic otherwise). The tail forms
+    # one extra fake segment that real tokens never attend.
+    from ..ops.flash import ALIGN
+    T = tokens.shape[0]
+    t_pad = (-T) % ALIGN
+    if t_pad and attn_impl != 'reference':
+        pad_token = cfg.padding_idx if cfg.padding_idx is not None else 0
+        tokens = jnp.pad(tokens, (0, t_pad), constant_values=pad_token)
+        seg_ids = jnp.concatenate(
+            [seg_ids, jnp.full((t_pad,), jnp.max(seg_ids) + 1,
+                               seg_ids.dtype)])
+        pos_ids = jnp.pad(pos_ids, (0, t_pad))
+
     x = _embed_flat(params, cfg, tokens, pos_ids)
     rope = None
     if cfg.rotary:
@@ -90,6 +106,10 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                           max_seqlen=max_seqlen, gather_fn=layer_gather,
                           rope=rope)
     x = apply_norm(x, params['emb_norm_after'])
+
+    if t_pad and attn_impl != 'reference':
+        x = x[:T]
+        reps = [r[:T] for r in reps]
 
     if with_head:
         x = roberta_lm_head(x, params['lm_head'])

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import segment_attention
+from ..ops.headsplit import _BLOCK_T, merge_heads, split_heads_rotary
 from ..ops.linear import linear
 from ..ops.norm import apply_norm
 from ..ops.rotary import apply_rotary, apply_rotary_qk, rotary_cos_sin
@@ -51,6 +52,27 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
 
     T = x.shape[0]
     H, Dh = cfg.attention_heads, cfg.head_dim
+
+    if attn_impl == 'auto':
+        on_tpu = jax.default_backend() == 'tpu'
+        attn_impl = 'flash' if (on_tpu and T >= 256) else 'reference'
+
+    if attn_impl == 'flash' and T % _BLOCK_T == 0:
+        # fused path: one bandwidth pass does head-split + relayout to
+        # the kernel-native (H, T, D) + RoPE; the inverse relayout
+        # happens on the attention output. No XLA transposes, no
+        # separate rotary passes.
+        if cfg.rotary:
+            cos, sin = (rope if rope is not None else
+                        rotary_cos_sin(pos_ids, Dh, dtype=x.dtype))
+        else:
+            cos = jnp.ones((T, Dh), x.dtype)
+            sin = jnp.zeros((T, Dh), x.dtype)
+        qh, kh, vh = split_heads_rotary(q, k, v, cos, sin, H)
+        o = segment_attention(qh, kh, vh, seg_ids, impl='flash',
+                              max_seqlen=max_seqlen, layout='htd')
+        return linear(merge_heads(o), params['out'], lora_names)
+
     q = q.reshape(T, H, Dh)
     k = k.reshape(T, H, Dh)
     v = v.reshape(T, H, Dh)

@@ -52,8 +52,9 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       seg_ids: jnp.ndarray, *, impl: str = 'auto',
-                      block_q: int = 256, block_k: int = 512,
-                      max_seqlen: int | None = None) -> jnp.ndarray:
+                      block_q: int | None = None, block_k: int | None = None,
+                      max_seqlen: int | None = None,
+                      layout: str = 'thd') -> jnp.ndarray:
     """Dispatch between the einsum reference path and the Pallas
     segment-flash kernel.
 
@@ -62,15 +63,22 @@ def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     ``max_seqlen`` (longest packed segment; static) caps the flash
     kernel's per-block tile span.
     """
+    from .flash import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, \
+        flash_segment_attention
+    block_q = DEFAULT_BLOCK_Q if block_q is None else block_q
+    block_k = DEFAULT_BLOCK_K if block_k is None else block_k
+
     if impl == 'auto':
         on_tpu = jax.default_backend() == 'tpu'
         impl = 'flash' if (on_tpu and q.shape[0] >= block_q) else 'reference'
 
     if impl == 'reference':
+        if layout == 'htd':
+            q, k, v = (jnp.swapaxes(t, 0, 1) for t in (q, k, v))
+            return jnp.swapaxes(attention_reference(q, k, v, seg_ids), 0, 1)
         return attention_reference(q, k, v, seg_ids)
     if impl == 'flash':
-        from .flash import flash_segment_attention
         return flash_segment_attention(q, k, v, seg_ids,
                                        block_q=block_q, block_k=block_k,
-                                       max_seqlen=max_seqlen)
+                                       max_seqlen=max_seqlen, layout=layout)
     raise ValueError(f'unknown attention impl: {impl}')

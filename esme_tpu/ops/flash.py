@@ -46,6 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Default tile sizes (v5e sweep, tools/tune_flash.py — larger k tiles
+# amortize per-grid-step cost; the q tile stays small to keep spans
+# tight). ALIGN is the packed-length multiple at which the kernel runs
+# zero-copy: callers that pre-pad T to ALIGN (forward_flat does) skip
+# the per-call pad/slice entirely.
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 1024
+ALIGN = math.lcm(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+
 # Budgets for the fp32 (hb, bq, bk) score tensor of one grid step,
 # calibrated on v5e against the 16MB scoped-VMEM limit (the compiler
 # keeps ~3 score-sized temporaries live in the fwd kernel and ~5 in the
@@ -469,11 +478,13 @@ def _flash_bwd_vjp(block_q, block_k, max_seqlen, interpret, res, do):
 _flash_core.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
 
 
-def flash_segment_attention(q, k, v, seg_ids, *, block_q: int = 256,
-                            block_k: int = 512,
+def flash_segment_attention(q, k, v, seg_ids, *,
+                            block_q: int = DEFAULT_BLOCK_Q,
+                            block_k: int = DEFAULT_BLOCK_K,
                             max_seqlen: int | None = None,
-                            interpret: bool | None = None) -> jnp.ndarray:
-    """Segment-masked flash attention over ``(T, H, D)`` packed layout.
+                            interpret: bool | None = None,
+                            layout: str = 'thd') -> jnp.ndarray:
+    """Segment-masked flash attention over packed layouts.
 
     Drop-in replacement for
     :func:`esme_tpu.ops.attention.attention_reference` with linear
@@ -481,11 +492,20 @@ def flash_segment_attention(q, k, v, seg_ids, *, block_q: int = 256,
     longest packed segment, the data plane's ``max_len``) statically
     caps the per-q-block tile span; None means no cap (full sweep,
     still mask-correct, just more skipped grid steps).
+
+    ``layout='thd'`` takes/returns ``(T, H, D)`` (transposing
+    internally); ``layout='htd'`` takes/returns the kernel-native
+    ``(H, T, D)`` — use it when the caller already produces head-major
+    tensors (the :mod:`esme_tpu.ops.headsplit` fused path) to skip the
+    relayout entirely.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
 
-    T, H, D = q.shape
+    if layout == 'thd':
+        T, H, D = q.shape
+    else:
+        H, T, D = q.shape
     t128 = ((T + 127) // 128) * 128
     if t128 < block_q or t128 < block_k:
         # tiny input: one q tile × one k tile
@@ -496,14 +516,22 @@ def flash_segment_attention(q, k, v, seg_ids, *, block_q: int = 256,
         # padded rows get a dedicated fake segment past every real id
         seg_fill = seg_fill.at[T:].set(jnp.max(seg_ids) + 1)
 
-    qt = _pad_to(jnp.swapaxes(q, 0, 1), t_pad, 1)   # (H, T', D)
-    kt = _pad_to(jnp.swapaxes(k, 0, 1), t_pad, 1)
-    vt = _pad_to(jnp.swapaxes(v, 0, 1), t_pad, 1)
+    if layout == 'thd':
+        qt = _pad_to(jnp.swapaxes(q, 0, 1), t_pad, 1)   # (H, T', D)
+        kt = _pad_to(jnp.swapaxes(k, 0, 1), t_pad, 1)
+        vt = _pad_to(jnp.swapaxes(v, 0, 1), t_pad, 1)
+    else:
+        qt = _pad_to(q, t_pad, 1)
+        kt = _pad_to(k, t_pad, 1)
+        vt = _pad_to(v, t_pad, 1)
 
     # seg_ids are attention structure, not data: block gradients
     seg_fill = jax.lax.stop_gradient(seg_fill)
 
     o = _flash_core(qt, kt, vt, seg_fill, block_q, block_k, max_seqlen,
                     interpret)
-    o = jnp.swapaxes(o, 0, 1)[:T]
+    if layout == 'thd':
+        o = jnp.swapaxes(o, 0, 1)[:T]
+    else:
+        o = o[:, :T]
     return o.astype(q.dtype)

@@ -1,0 +1,208 @@
+"""Fused head-split + rotary + layout-change Pallas kernels.
+
+The flash kernel wants ``(H, T, D)``; projections produce ``(T, H·D)``.
+Doing the relayout with XLA costs a strided transpose (~176GB/s on
+v5e) plus separate rotary passes and per-layer restaging of the cos/sin
+tables — ~9ms/layer on ESM2-650M at a 50k-token batch, nearly as much
+as attention itself. These kernels do the whole complex in one
+bandwidth-bound pass each way:
+
+* :func:`split_heads_rotary` — ``(T, H·D)`` q/k/v ``->`` ``(H, T, D)``
+  with RoPE applied to q and k in-flight. The "transpose" is free: the
+  head loop reads a 64-lane slice of the input tile and DMAs it to the
+  ``h``-th output block — block indexing does the relayout, no vector
+  transpose is ever materialized (reference rotary semantics:
+  esme/rotary.py:22-43, bf16 multiplies against a cast table).
+* :func:`merge_heads` — the inverse relayout for the attention output.
+
+Backward passes reuse the opposite kernel: d(split) = merge with the
+*counter*-rotation (RoPE is orthogonal, so the VJP of ``R·x`` is
+``R^T·dy`` — unlike the reference, which re-applies the forward
+rotation in backward, a latent bug flagged in SURVEY.md), and
+d(merge) = split without rotation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_T = 256
+
+
+def _split_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref,
+                  qo_ref, ko_ref, vo_ref, *, H, D, inverse_rotation):
+    h2 = D // 2
+    c = cos_ref[:, :h2]
+    s = sin_ref[:, :h2]
+    if inverse_rotation:
+        s = -s
+    for h in range(H):
+        lo, mid, hi = h * D, h * D + h2, (h + 1) * D
+        q1, q2 = q_ref[:, lo:mid], q_ref[:, mid:hi]
+        qo_ref[h, :, :h2] = q1 * c - q2 * s
+        qo_ref[h, :, h2:] = q2 * c + q1 * s
+        k1, k2 = k_ref[:, lo:mid], k_ref[:, mid:hi]
+        ko_ref[h, :, :h2] = k1 * c - k2 * s
+        ko_ref[h, :, h2:] = k2 * c + k1 * s
+        vo_ref[h] = v_ref[:, lo:hi]
+
+
+def _split_one_kernel(x_ref, o_ref, *, H, D):
+    for h in range(H):
+        o_ref[h] = x_ref[:, h * D:(h + 1) * D]
+
+
+def _merge_kernel(x_ref, cos_ref, sin_ref, o_ref, *, H, D, rotate,
+                  inverse_rotation):
+    h2 = D // 2
+    if rotate:
+        c = cos_ref[:, :h2]
+        s = sin_ref[:, :h2]
+        if inverse_rotation:
+            s = -s
+    for h in range(H):
+        lo, mid, hi = h * D, h * D + h2, (h + 1) * D
+        x1, x2 = x_ref[h, :, :h2], x_ref[h, :, h2:]
+        if rotate:
+            o_ref[:, lo:mid] = x1 * c - x2 * s
+            o_ref[:, mid:hi] = x2 * c + x1 * s
+        else:
+            o_ref[:, lo:mid] = x1
+            o_ref[:, mid:hi] = x2
+
+
+def _pick_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != 'tpu'
+    return interpret
+
+
+def _split_call(q2, k2, v2, cos, sin, H, inverse_rotation, interpret):
+    T, HD = q2.shape
+    D = HD // H
+    bt = min(_BLOCK_T, T)
+    assert T % bt == 0, f'T={T} must be a multiple of {bt}'
+    row = pl.BlockSpec((bt, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    trig = pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((H, bt, D), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_split_kernel, H=H, D=D,
+                          inverse_rotation=inverse_rotation),
+        grid=(T // bt,),
+        in_specs=[row, row, row, trig, trig],
+        out_specs=[out, out, out],
+        out_shape=[jax.ShapeDtypeStruct((H, T, D), q2.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(q2, k2, v2, cos, sin)
+
+
+def _merge_call(x, cos, sin, rotate, inverse_rotation, interpret):
+    H, T, D = x.shape
+    bt = min(_BLOCK_T, T)
+    assert T % bt == 0, f'T={T} must be a multiple of {bt}'
+    if cos is None:
+        cos = jnp.zeros((T, D), x.dtype)
+        sin = cos
+    return pl.pallas_call(
+        functools.partial(_merge_kernel, H=H, D=D, rotate=rotate,
+                          inverse_rotation=inverse_rotation),
+        grid=(T // bt,),
+        in_specs=[
+            pl.BlockSpec((H, bt, D), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, H * D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, H * D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(x, cos, sin)
+
+
+# ---------------------------------------------------------------------------
+# split_heads_rotary: (T, H·D) q/k/v + (T, D) cos/sin -> 3 × (H, T, D)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def split_heads_rotary(q2, k2, v2, cos, sin, num_heads: int,
+                       interpret: bool | None = None):
+    """Split ``(T, H·D)`` projections into ``(H, T, D)`` head-major
+    layout, applying RoPE to q and k in the same pass. ``cos``/``sin``
+    are per-token ``(T, D)`` tables (halves repeated, as produced by
+    :func:`esme_tpu.ops.rotary.rotary_cos_sin`)."""
+    out, _ = _split_fwd(q2, k2, v2, cos, sin, num_heads, interpret)
+    return out
+
+
+def _split_fwd(q2, k2, v2, cos, sin, num_heads, interpret):
+    cos = jax.lax.stop_gradient(cos)
+    sin = jax.lax.stop_gradient(sin)
+    out = _split_call(q2, k2, v2, cos, sin, num_heads, False,
+                      _pick_interpret(interpret))
+    return tuple(out), (cos, sin)
+
+
+def _split_bwd(num_heads, interpret, res, grads):
+    cos, sin = res
+    dq, dk, dv = grads
+    interpret = _pick_interpret(interpret)
+    # R is orthogonal: dx = R^T dy = rotation by -theta
+    dq2 = _merge_call(dq, cos, sin, True, True, interpret)
+    dk2 = _merge_call(dk, cos, sin, True, True, interpret)
+    dv2 = _merge_call(dv, None, None, False, False, interpret)
+    return dq2, dk2, dv2, None, None
+
+
+split_heads_rotary.defvjp(_split_fwd, _split_bwd)
+
+
+# ---------------------------------------------------------------------------
+# merge_heads: (H, T, D) -> (T, H·D)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def merge_heads(x, interpret: bool | None = None):
+    """Inverse relayout of :func:`split_heads_rotary` (no rotation)."""
+    return _merge_call(x, None, None, False, False,
+                       _pick_interpret(interpret))
+
+
+def _merge_fwd(x, interpret):
+    return merge_heads(x, interpret), x.shape[0]
+
+
+def _merge_bwd(interpret, H, dy):
+    interpret = _pick_interpret(interpret)
+    T, HD = dy.shape
+    D = HD // H
+    bt = min(_BLOCK_T, T)
+    assert T % bt == 0
+    dx = pl.pallas_call(
+        functools.partial(_split_one_kernel, H=H, D=D),
+        grid=(T // bt,),
+        in_specs=[pl.BlockSpec((bt, HD), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((H, bt, D), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, T, D), dy.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(dy)
+    return (dx,)
+
+
+merge_heads.defvjp(_merge_fwd, _merge_bwd)
