@@ -40,6 +40,12 @@ class ESMConfig:
     # zero <mask> embeddings (ESM2/1b/1v but not ESMC,
     # reference: esme/esm.py:189 vs esm.py:876)
     zero_mask_embedding: bool = True
+    # lm_head.final.weight tied to embed_tokens.weight — detected at
+    # load time; pretrained ESM2 checkpoints carry the tie (reference
+    # asserts it: tests/test_esm.py:110,126,143). When True the head
+    # projects through the embedding matrix so fine-tuning gradients
+    # flow to one tensor, like the reference's shared Parameter.
+    tie_lm_head: bool = False
     padding_idx: int = 1
     mask_idx: int = 32
     dtype: str = 'bfloat16'

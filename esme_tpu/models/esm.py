@@ -112,7 +112,8 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
         reps = [r[:T] for r in reps]
 
     if with_head:
-        x = roberta_lm_head(x, params['lm_head'])
+        x = roberta_lm_head(x, params['lm_head'],
+                            embed=params['embed_tokens'])
         if log_prob:
             x = jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
     if reps:
@@ -127,12 +128,28 @@ def packed_meta(cu_lens, total: int):
 
 
 @partial(jax.jit, static_argnames=('num_segments', 'max_len'))
-def scatter_to_padded(x, seg_ids, pos_ids, num_segments: int, max_len: int):
-    """Scatter flat per-token values into a zero-padded
+def scatter_to_padded(x, seg_ids, pos_ids, num_segments: int, max_len: int,
+                      fill=None):
+    """Scatter flat per-token values into a padded
     ``(num_segments, max_len, C)`` layout — the XLA equivalent of
-    flash-attn's ``pad_input`` (reference: esme/esm.py:255)."""
-    out = jnp.zeros((num_segments, max_len) + x.shape[1:], x.dtype)
+    flash-attn's ``pad_input`` (reference: esme/esm.py:255). ``fill``
+    (default zeros) is the value pad positions take."""
+    shape = (num_segments, max_len) + x.shape[1:]
+    out = jnp.zeros(shape, x.dtype) if fill is None \
+        else jnp.broadcast_to(fill.astype(x.dtype), shape)
     return out.at[seg_ids, pos_ids].set(x, mode='drop')
+
+
+@partial(jax.jit, static_argnames=('cfg', 'log_prob'))
+def _pad_head_row(params, cfg: ESMConfig, log_prob: bool):
+    """What the reference emits at pad positions when the head runs
+    after ``pad_input``'s zero-fill (reference: esme/esm.py:255,281):
+    ``lm_head(0)``, a constant row."""
+    x = jnp.zeros((1, cfg.embed_dim), cfg.jnp_dtype)
+    r = roberta_lm_head(x, params['lm_head'], embed=params['embed_tokens'])
+    if log_prob:
+        r = jax.nn.log_softmax(r.astype(jnp.float32), axis=-1)
+    return r[0]
 
 
 # ---------------------------------------------------------------------------
@@ -203,6 +220,18 @@ class _ESMBase:
         tokens = np.asarray(tokens) if not isinstance(tokens, jax.Array) \
             else tokens
 
+        if self.config.learned_positions is not None:
+            # raise on position-table overflow like the reference
+            # (esme/embedding.py:47-51,69-74); table has +2 rows
+            max_positions = int(
+                self.params['embed_positions'].shape[0]) - 2
+            width = int(pad_args[1]) if pad_args is not None \
+                else int(tokens.shape[1])
+            if width > max_positions:
+                raise ValueError(
+                    f'sequence length {width} above maximum position '
+                    f'table size {max_positions}')
+
         if pad_args is not None:
             assert tokens.ndim == 1, \
                 'tokens must be flat (batch*seq_len) when pad_args given'
@@ -215,8 +244,11 @@ class _ESMBase:
                                 collect_layers=collect,
                                 max_seqlen=int(max_len))
             if pad_output:
+                fill = _pad_head_row(self.params, self.config, log_prob) \
+                    if with_head else None
                 x = scatter_to_padded(x, seg_ids, pos_ids,
-                                      int(cu_lens.shape[0]) - 1, int(max_len))
+                                      int(cu_lens.shape[0]) - 1,
+                                      int(max_len), fill=fill)
             return x
 
         assert tokens.ndim == 2, 'tokens must be (batch, seq_len)'
@@ -232,8 +264,12 @@ class _ESMBase:
                             lora_names=lora_names, attn_impl=attn_impl,
                             collect_layers=collect, max_seqlen=None)
         x = x.reshape(B, Lseq, -1)
-        # match the reference's pad_input: zeros at pad positions
-        return jnp.where(valid[..., None], x, jnp.zeros_like(x))
+        # match the reference: representation pads are zeros (pad_input
+        # zero-fill), logits pads are lm_head(0) because the head runs
+        # after the scatter (reference: esme/esm.py:255,281)
+        fill = _pad_head_row(self.params, self.config, log_prob) \
+            if with_head else jnp.zeros((x.shape[-1],), x.dtype)
+        return jnp.where(valid[..., None], x, fill.astype(x.dtype))
 
     def forward_representation(self, tokens, pad_args=None, pad_output=False,
                                lora_names=None, layers=None,

@@ -114,7 +114,14 @@ def params_to_flat(params: dict, cfg: ESMConfig) -> Dict[str, jnp.ndarray]:
     put_norm('emb_layer_norm_after', params['emb_norm_after'])
     put_linear('lm_head.dense', params['lm_head']['dense'])
     put_norm('lm_head.layer_norm', params['lm_head']['norm'])
-    put_linear('lm_head.final', params['lm_head']['final'])
+    final = params['lm_head']['final']
+    if 'kernel' in final:
+        put_linear('lm_head.final', final)
+    else:
+        # tied head: materialize the reference schema's duplicate tensor
+        flat['lm_head.final.weight'] = params['embed_tokens']
+        if 'bias' in final:
+            flat['lm_head.final.bias'] = final['bias']
     return flat
 
 
@@ -174,10 +181,16 @@ def flat_to_params(flat: Dict[str, jnp.ndarray], cfg: ESMConfig) -> dict:
 
     params['layers'] = {'attn': attn, 'mlp': mlp}
     params['emb_norm_after'] = norm('emb_layer_norm_after')
+    if cfg.tie_lm_head:
+        final = {}
+        if 'lm_head.final.bias' in flat:
+            final['bias'] = get('lm_head.final.bias')
+    else:
+        final = lin('lm_head.final')
     params['lm_head'] = {
         'dense': lin('lm_head.dense'),
         'norm': norm('lm_head.layer_norm'),
-        'final': lin('lm_head.final'),
+        'final': final,
     }
     return params
 
@@ -199,8 +212,17 @@ def save_pretrained(path: str, params: dict, cfg: ESMConfig, name: str):
 def load_pretrained(path: str, dtype='bfloat16'
                     ) -> Tuple[ESMConfig, dict, str]:
     """Load a reference-schema safetensors checkpoint into
-    ``(config, params, name)``."""
+    ``(config, params, name)``. Detects lm_head↔embedding weight tying
+    (the contract the reference asserts for its pretrained checkpoints,
+    reference: tests/test_esm.py:110,126,143) and realizes it: the tied
+    head projects through ``embed_tokens`` so fine-tuning gradients
+    accumulate into one tensor, like the reference's shared Parameter."""
+    from dataclasses import replace
     metadata = read_metadata(path)
     cfg, name = config_from_metadata(metadata, dtype=dtype)
     flat = stf.load_file(path)
+    if 'lm_head.final.weight' in flat and bool(
+            (flat['lm_head.final.weight']
+             == flat['embed_tokens.weight']).all()):
+        cfg = replace(cfg, tie_lm_head=True)
     return cfg, flat_to_params(flat, cfg), name

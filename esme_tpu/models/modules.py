@@ -140,25 +140,34 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
 
     Returns ``(x, reps)`` where ``reps`` is a list of intermediate layer
     outputs for indices in ``collect_layers`` (reference:
-    esme/esm.py:243-250 collects them in the python loop).
+    esme/esm.py:243-250 appends only the requested layers — likewise
+    here each requested layer has its own carried accumulator written
+    at its scan step, so memory is len(collect)×T×D, never L×T×D).
     """
-    def body(carry, layer_params):
+    if collect_layers:
+        L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+        collect_layers = tuple(i % L for i in collect_layers)
+
+    def body(carry, xs):
+        x, reps = carry
+        layer_params, idx = xs
         if gather_fn is not None:
             layer_params = gather_fn(layer_params)
-        out = transformer_layer(carry, layer_params, cfg, seg_ids, pos_ids,
+        out = transformer_layer(x, layer_params, cfg, seg_ids, pos_ids,
                                 lora_names, attn_impl, max_seqlen, rope)
-        return out, (out if collect_layers else None)
+        if collect_layers:
+            reps = tuple(jnp.where(idx == ci, out, r)
+                         for ci, r in zip(collect_layers, reps))
+        return (out, reps), None
 
     if checkpointing:
         body = jax.checkpoint(body)
 
-    x, ys = jax.lax.scan(body, x, stacked_params)
-
-    reps = []
-    if collect_layers:
-        for i in collect_layers:
-            reps.append(ys[i])
-    return x, reps
+    L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    reps0 = tuple(jnp.zeros_like(x) for _ in (collect_layers or ()))
+    (x, reps), _ = jax.lax.scan(body, (x, reps0),
+                                (stacked_params, jnp.arange(L)))
+    return x, list(reps)
 
 
 def embed_tokens(tokens, params, cfg):
@@ -180,8 +189,22 @@ def learned_positions_flat(pos_ids, params, cfg):
     return jnp.take(params['embed_positions'], rows, axis=0)
 
 
-def roberta_lm_head(x, params):
-    """``final(layer_norm(gelu(dense(x))))`` (reference: esme/head.py:25-27)."""
+def roberta_lm_head(x, params, embed=None):
+    """``final(layer_norm(gelu(dense(x))))`` (reference: esme/head.py:25-27).
+
+    When the final projection is weight-tied to the token embedding
+    (no ``kernel`` leaf; detected at load, see models/io.py), logits
+    are computed through ``embed`` so the tie holds under autodiff.
+    """
     h = linear(x, params['dense'])
     h = apply_norm(gelu(h), params['norm'])
-    return linear(h, params['final'])
+    final = params['final']
+    if 'kernel' in final:
+        return linear(h, final)
+    from ..ops.linear import mxu_precision
+    logits = jnp.dot(h, embed.T.astype(h.dtype),
+                     preferred_element_type=jnp.float32,
+                     precision=mxu_precision(h)).astype(h.dtype)
+    if 'bias' in final:
+        logits = logits + final['bias']
+    return logits

@@ -39,14 +39,17 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     head_dim = q.shape[-1]
     scale = scale if scale is not None else 1.0 / (head_dim ** 0.5)
 
+    from .linear import mxu_precision
+    prec = mxu_precision(q, k)
     # scores in fp32 on the MXU (bf16 inputs, fp32 accumulate)
     scores = jnp.einsum('thd,shd->hts', q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=jnp.float32,
+                        precision=prec) * scale
     mask = seg_ids[:, None] == seg_ids[None, :]
     scores = jnp.where(mask[None, :, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum('hts,shd->thd', probs.astype(q.dtype), v,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=prec)
     return out.astype(q.dtype)
 
 

@@ -25,9 +25,20 @@ import jax
 import jax.numpy as jnp
 
 
+def mxu_precision(*operands) -> jax.lax.Precision | None:
+    """Matmul precision for the given operands: fp32 inputs request
+    ``HIGHEST`` (full fp32 on the MXU via multi-pass bf16) so the fp32
+    oracle path stays a real oracle on TPU, where the default precision
+    rounds fp32 operands to one bf16 pass (~1e-2 relative error). bf16
+    operands — the production path — keep the fast default."""
+    if all(o.dtype == jnp.float32 for o in operands):
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    return jnp.dot(x, kernel,
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.dot(x, kernel, preferred_element_type=jnp.float32,
+                   precision=mxu_precision(x, kernel)).astype(x.dtype)
 
 
 def linear(x: jnp.ndarray, params: dict,

@@ -56,8 +56,10 @@ def attention_pool(cls_q: jnp.ndarray, x: jnp.ndarray, k_params: dict,
     v = x.reshape(T, num_heads, Dh)
 
     # per-token score against every cls query: (T, C, H)
+    from .linear import mxu_precision
     s = jnp.einsum('thd,chd->tch', k, q,
-                   preferred_element_type=jnp.float32) * scale
+                   preferred_element_type=jnp.float32,
+                   precision=mxu_precision(k, q)) * scale
 
     # segment softmax over t
     m = jax.ops.segment_max(s, seg_ids, num_segments=num_segments)

@@ -38,6 +38,69 @@ def test_tokenize_golden():
     assert tokens.dtype == np.int32
 
 
+# Human p53 (reference: tests/conftest.py:55)
+P53_HUMAN = (
+    'MEEPQSDPSVEPPLSQETFSDLWKLLPENNVLSPLPSQAMDDLMLSPDDIEQWFTEDPGPDEAP'
+    'RMPEAAPPVAPAPAAPTPAAPAPAPSWPLSSSVPSQKTYQGSYGFRLGFLHSGTAKSVTCTYSP'
+    'ALNKMFCQLAKTCPVQLWVDSTPPPGTRVRAMAIYKQSQHMTEVVRRCPHHERCSDSDGLAPPQ'
+    'HLIRVEGNLRVEYLDDRNTFRHSVVVPYEPPEVGSDCTTIHYNYMCNSSCMGGMNRRPILTIIT'
+    'LEDSSGNLLGRNSFEVRVCACPGRDRRTEEENLRKKGEPHHELPPGSTKRALPNNTSSSPQPKK'
+    'KPLDGEYFTLQIRGRERFEMFRELNEALELKDAQAGKEPGGSRAHSSHLKSKKGQSTSRHKKLM'
+    'FKTEGPDSD')
+
+# Golden token ids for p53, the reference's own pinned test vector
+# (reference: tests/test_alphabet.py:8-33) — real external ground
+# truth for the published ESM vocabulary contract.
+P53_GOLDEN = [
+    0, 20,  9,  9, 14, 16,  8, 13, 14,  8,  7,  9, 14, 14,  4,  8, 16,  9,
+    11, 18,  8, 13,  4, 22, 15,  4,  4, 14,  9, 17, 17,  7,  4,  8, 14,  4,
+    14,  8, 16,  5, 20, 13, 13,  4, 20,  4,  8, 14, 13, 13, 12,  9, 16, 22,
+    18, 11,  9, 13, 14,  6, 14, 13,  9,  5, 14, 10, 20, 14,  9,  5,  5, 14,
+    14,  7,  5, 14,  5, 14,  5,  5, 14, 11, 14,  5,  5, 14,  5, 14,  5, 14,
+    8, 22, 14,  4,  8,  8,  8,  7, 14,  8, 16, 15, 11, 19, 16,  6,  8, 19,
+    6, 18, 10,  4,  6, 18,  4, 21,  8,  6, 11,  5, 15,  8,  7, 11, 23, 11,
+    19,  8, 14,  5,  4, 17, 15, 20, 18, 23, 16,  4,  5, 15, 11, 23, 14,  7,
+    16,  4, 22,  7, 13,  8, 11, 14, 14, 14,  6, 11, 10,  7, 10,  5, 20,  5,
+    12, 19, 15, 16,  8, 16, 21, 20, 11,  9,  7,  7, 10, 10, 23, 14, 21, 21,
+    9, 10, 23,  8, 13,  8, 13,  6,  4,  5, 14, 14, 16, 21,  4, 12, 10,  7,
+    9,  6, 17,  4, 10,  7,  9, 19,  4, 13, 13, 10, 17, 11, 18, 10, 21,  8,
+    7,  7,  7, 14, 19,  9, 14, 14,  9,  7,  6,  8, 13, 23, 11, 11, 12, 21,
+    19, 17, 19, 20, 23, 17,  8,  8, 23, 20,  6,  6, 20, 17, 10, 10, 14, 12,
+    4, 11, 12, 12, 11,  4,  9, 13,  8,  8,  6, 17,  4,  4,  6, 10, 17,  8,
+    18,  9,  7, 10,  7, 23,  5, 23, 14,  6, 10, 13, 10, 10, 11,  9,  9,  9,
+    17,  4, 10, 15, 15,  6,  9, 14, 21, 21, 9,  4, 14, 14,  6,  8, 11, 15,
+    10,  5,  4, 14, 17, 17, 11,  8,  8,  8, 14, 16, 14, 15, 15, 15, 14,  4,
+    13,  6,  9, 19, 18, 11,  4, 16, 12, 10,  6, 10,  9, 10, 18,  9, 20, 18,
+    10,  9,  4, 17,  9,  5,  4,  9,  4, 15, 13,  5, 16,  5,  6, 15,  9, 14,
+    6,  6,  8, 10,  5, 21,  8,  8, 21,  4, 15,  8, 15, 15,  6, 16,  8, 11,
+    8, 10, 21, 15, 15,  4, 20, 18, 15, 11,  9,  6, 14, 13,  8, 13,  2]
+
+
+def test_tokenize_p53_golden():
+    """The reference's pinned full-protein golden vector
+    (reference: tests/test_alphabet.py:8-33)."""
+    tokens = tokenize(P53_HUMAN, alphabet=Alphabet)
+    np.testing.assert_array_equal(tokens, [P53_GOLDEN])
+    # ESM1/2 and ESMC alphabets agree on all amino-acid codes
+    np.testing.assert_array_equal(
+        tokenize(P53_HUMAN, alphabet=Alphabet3), [P53_GOLDEN])
+
+
+def test_tokenize_unpad_p53_golden():
+    """Packed-layout invariants pinned by the reference on p53
+    (reference: tests/test_alphabet.py:52-63)."""
+    n = len(P53_HUMAN)
+    tokens, indices, cu_lens, max_len = tokenize_unpad(
+        [P53_HUMAN, P53_HUMAN + P53_HUMAN], alphabet=Alphabet)
+    assert tokens.shape[0] == n * 3 + 4
+    np.testing.assert_array_equal(indices, np.concatenate([
+        np.arange(0, n + 2),
+        np.arange(n * 2 + 2, n * 4 + 4),
+    ]))
+    assert cu_lens.tolist() == [0, n + 2, n * 3 + 4]
+    assert max_len == n * 2 + 2
+
+
 def test_tokenize_pads_batch():
     tokens = tokenize(['MA', 'MAGV'], alphabet=Alphabet)
     np.testing.assert_array_equal(tokens, [

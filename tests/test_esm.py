@@ -63,8 +63,13 @@ def test_padded_vs_packed(family):
     valid = padded_tok != alpha.padding_idx
     np.testing.assert_allclose(lp_pad[valid], lp_packed[valid],
                                atol=1e-5, rtol=1e-5)
-    # pad positions are zeroed like the reference's pad_input scatter
-    assert (lp_pad[~valid] == 0).all()
+    # pad positions carry log_softmax(lm_head(0)) — the reference
+    # applies the head after pad_input's zero-fill (esme/esm.py:255,281)
+    from esme_tpu.models.esm import _pad_head_row
+    pad_row = np.asarray(_pad_head_row(model.params, model.config, True))
+    np.testing.assert_allclose(
+        lp_pad[~valid], np.broadcast_to(pad_row, lp_pad[~valid].shape),
+        atol=1e-6)
 
 
 @pytest.mark.parametrize('family', FAMILIES)
