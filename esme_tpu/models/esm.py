@@ -9,12 +9,13 @@ public API surface: ``from_pretrained``, ``forward_representation``,
 ``save_lora``/``load_lora``, ``mark_lmhead``.
 
 Layout contract: computation always runs over the packed flat token
-layout. Padded ``(B, L)`` inputs are *viewed* as flat with per-row
-segment ids — no gather/scatter (the XLA replacement for flash-attn's
-``unpad_input``/``pad_input``, reference: esme/esm.py:238,255); pad
-positions simply live in a fake segment that real tokens never attend
-to, and padded outputs are zeroed at pad positions to match the
-reference's scatter-with-zeros semantics.
+layout. Padded ``(B, L)`` inputs are repacked valid-tokens-first with
+one static-shape gather (the XLA replacement for flash-attn's
+``unpad_input``/``pad_input``, reference: esme/esm.py:238,255): segment
+ids stay monotonic so the flash kernel's block spans are tight, pads
+live in fake trailing segments that real tokens never attend, and
+outputs scatter back to ``(B, L)`` with the reference's pad-fill
+semantics.
 """
 
 from __future__ import annotations
@@ -28,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..alphabet import Alphabet, Alphabet3
-from ..ops.segment import (padded_to_flat_meta, positions_from_cu_lens,
-                           segment_ids_from_cu_lens)
+from ..ops.segment import (positions_from_cu_lens, segment_ids_from_cu_lens,
+                           unpad_gather_meta)
 from .config import (ESMConfig, esm1b_config, esm1v_config, esm2_config,
                      esmc_config)
 from .init import init_params
@@ -138,6 +139,26 @@ def scatter_to_padded(x, seg_ids, pos_ids, num_segments: int, max_len: int,
     out = jnp.zeros(shape, x.dtype) if fill is None \
         else jnp.broadcast_to(fill.astype(x.dtype), shape)
     return out.at[seg_ids, pos_ids].set(x, mode='drop')
+
+
+@partial(jax.jit, static_argnames=('padding_idx',))
+def _repack_padded(tokens, padding_idx: int):
+    """Gather a padded ``(B, L)`` batch into the monotonic packed layout
+    (valid tokens first). Returns ``(flat, seg_ids, pos_ids, valid,
+    dst)`` where ``dst`` scatters packed outputs back to flat order."""
+    valid = tokens != padding_idx
+    src, dst, seg_ids, pos_ids = unpad_gather_meta(valid)
+    flat = jnp.take(tokens.reshape(-1), src)
+    return flat, seg_ids, pos_ids, valid, dst
+
+
+@jax.jit
+def _scatter_back_padded(x, dst, valid, fill):
+    """Packed outputs back to ``(B, L, C)`` with ``fill`` at pads — the
+    XLA ``pad_input`` (reference: esme/esm.py:255)."""
+    B, Lseq = valid.shape
+    x = jnp.take(x, dst, axis=0).reshape(B, Lseq, -1)
+    return jnp.where(valid[..., None], x, fill.astype(x.dtype))
 
 
 @partial(jax.jit, static_argnames=('cfg', 'log_prob'))
@@ -254,22 +275,23 @@ class _ESMBase:
         assert tokens.ndim == 2, 'tokens must be (batch, seq_len)'
         B, Lseq = tokens.shape
         tokens_j = jnp.asarray(tokens, jnp.int32)
-        valid = tokens_j != self.config.padding_idx
-        seg_ids, pos_ids = padded_to_flat_meta(B, Lseq, valid)
-        # NB max_seqlen must stay None here: the padded-view layout has
-        # non-monotonic segment ids, so flash tile spans are full-range
-        # and a static cap would silently drop attention tiles
-        x = self._flat_call(tokens_j.reshape(-1), seg_ids, pos_ids,
+        # Repack valid tokens to the front (the XLA unpad_input,
+        # reference: esme/esm.py:238): segment ids become monotonic so
+        # flash block spans are tight and max_seqlen=Lseq is a valid
+        # static cap — without this, the interleaved pad segments force
+        # every span to full range (O(T²) tile sweeps).
+        flat, seg_ids, pos_ids, valid, dst = _repack_padded(
+            tokens_j, self.config.padding_idx)
+        x = self._flat_call(flat, seg_ids, pos_ids,
                             with_head=with_head, log_prob=log_prob,
                             lora_names=lora_names, attn_impl=attn_impl,
-                            collect_layers=collect, max_seqlen=None)
-        x = x.reshape(B, Lseq, -1)
+                            collect_layers=collect, max_seqlen=Lseq)
         # match the reference: representation pads are zeros (pad_input
         # zero-fill), logits pads are lm_head(0) because the head runs
         # after the scatter (reference: esme/esm.py:255,281)
         fill = _pad_head_row(self.params, self.config, log_prob) \
             if with_head else jnp.zeros((x.shape[-1],), x.dtype)
-        return jnp.where(valid[..., None], x, fill.astype(x.dtype))
+        return _scatter_back_padded(x, dst, valid, fill)
 
     def forward_representation(self, tokens, pad_args=None, pad_output=False,
                                lora_names=None, layers=None,

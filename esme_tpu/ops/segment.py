@@ -57,5 +57,45 @@ def padded_to_flat_meta(batch: int, seq_len: int, valid: jnp.ndarray):
     return seg_ids, col
 
 
+def unpad_gather_meta(valid: jnp.ndarray):
+    """Repack metadata for a padded ``(B, L)`` batch: valid tokens move
+    to the front in row-major order, pads to the tail — the static-shape
+    XLA analogue of flash-attn's ``unpad_input`` gather (reference:
+    esme/esm.py:238). Total length stays ``B*L`` (shapes are static) but
+    segment ids become *monotonic*, so the flash kernel's per-block
+    spans are tight (≤ max_seqlen) instead of full-range.
+
+    Each pad token gets its own fake segment id (``B + k``) so the
+    repacked pad tail never attends within itself — its attention cost
+    is one diagonal tile sweep, not O(P²).
+
+    Returns ``(src, dst, seg_ids, pos_ids)``: ``src[j]`` is the flat
+    source index feeding packed slot ``j`` (gather with ``take(·, src)``)
+    and ``dst[i]`` the packed slot of flat token ``i`` (scatter back
+    with ``take(out, dst)``).
+    """
+    B, L = valid.shape
+    flat = valid.reshape(-1)
+    n = flat.shape[0]
+    nvalid = jnp.sum(flat)
+    cum_v = jnp.cumsum(flat)
+    cum_p = jnp.cumsum(~flat)
+    dst = jnp.where(flat, cum_v - 1, nvalid + cum_p - 1).astype(jnp.int32)
+    src = jnp.zeros(n, jnp.int32).at[dst].set(
+        jnp.arange(n, dtype=jnp.int32))
+    slot = jnp.arange(n, dtype=jnp.int32)
+    row = src // jnp.int32(L)
+    seg_ids = jnp.where(slot < nvalid, row,
+                        jnp.int32(B) + (slot - nvalid)).astype(jnp.int32)
+    # within-sequence position = rank among the row's valid tokens
+    # (cumsum semantics like the reference, esme/embedding.py:36-52 —
+    # exact column index when rows are left-aligned, which tokenize
+    # guarantees)
+    pos_flat = (jnp.cumsum(valid, axis=1) - 1).reshape(-1)
+    pos_ids = jnp.where(slot < nvalid, jnp.take(pos_flat, src),
+                        0).astype(jnp.int32)
+    return src, dst, seg_ids, pos_ids
+
+
 def segment_lengths(cu_lens: jnp.ndarray) -> jnp.ndarray:
     return cu_lens[1:] - cu_lens[:-1]
