@@ -1,4 +1,4 @@
-"""Headline benchmark: ESM2-650M unpadded forward throughput per chip.
+"""Headline benchmark: ESM2-650M unpadded forward + MLM train throughput.
 
 Prints one JSON line:
 ``{"metric": ..., "value": N, "unit": "tokens/sec/chip",
@@ -6,7 +6,11 @@ Prints one JSON line:
 
 Setting mirrors the reference's whole-proteome inference benchmark —
 packed batches at token_per_batch=50_000 of 100-1000 aa sequences
-(reference: workflow/inference/inference_on_human.py:9-18).
+(reference: workflow/inference/inference_on_human.py:9-18) — plus the
+reference's MLM train-runtime harness (fwd+bwd+adam over the same
+packed batches, reference: workflow/train/runtime.py:42-52), reported
+in ``extra`` as train tokens/sec/chip with and without activation
+checkpointing, with MFU estimates.
 
 ``vs_baseline`` is the packed-vs-padded speedup per real token — the
 same efficient-vs-baseline comparison the reference paper reports
@@ -21,6 +25,9 @@ import os
 import time
 
 import numpy as np
+
+# TPU v5e peak bf16 matmul throughput, for MFU estimates.
+PEAK_BF16_FLOPS = 197e12
 
 
 def main():
@@ -120,6 +127,53 @@ def main():
         vs_baseline = (dt_padded / real_tokens) / (dt_packed / real_tokens)
         extra['ms_padded_total'] = round(dt_padded * 1e3, 2)
         extra['padded_tokens_incl_pad'] = n_batches * batch_rows * row_len
+
+    # ---- MLM train step (reference: workflow/train/runtime.py:42-52) ----
+    # fwd+bwd+adam over the same packed batch; 80/10/10 BERT masking.
+    from esme_tpu.alphabet import mask_tokens
+    from esme_tpu.train.trainer import MaskedPLM
+
+    n_params = sum(x.size for x in jax.tree.leaves(model.params))
+    flops_fwd = 2 * n_params * real_tokens
+    extra['mfu_fwd'] = round(flops_fwd / dt_packed / PEAK_BF16_FLOPS, 4)
+    extra['params'] = n_params
+
+    masked, mask = mask_tokens(tokens[None], alphabet=Alphabet,
+                               rng=np.random.default_rng(1))
+    masked, mask = masked[0], mask[0]
+    mask[cu[-1]:] = False   # no loss on the static padding tail
+
+    class _B:
+        pass
+    batch = _B()
+    batch.tokens = tokens
+    batch.masked_tokens = masked
+    batch.mask = mask
+    batch.cu_lens = cu
+    batch.max_len = max_len
+
+    train_reps = reps if on_tpu else 1
+    for ckpt, key in ((True, 'ckpt'), (False, 'nockpt')):
+        model.checkpointing = ckpt
+        plm = MaskedPLM(model, attn_impl=impl)
+        try:
+            plm.training_step(batch)          # compile + warm
+            t0 = time.time()
+            for _ in range(train_reps):
+                plm.training_step(batch)      # float(loss) syncs
+            dt_train = (time.time() - t0) / train_reps
+        except Exception as e:                # OOM recorded like the
+            extra[f'train_{key}_error'] = str(e)[:200]  # reference's -1
+            extra[f'train_tok_per_sec_{key}'] = -1
+            continue
+        extra[f'train_tok_per_sec_{key}'] = round(real_tokens / dt_train, 1)
+        extra[f'train_ms_{key}'] = round(dt_train * 1e3, 2)
+        # fwd+bwd ≈ 3x fwd matmul FLOPs (+1 fwd recompute under remat)
+        factor = 8 if ckpt else 6
+        extra[f'train_mfu_{key}'] = round(
+            factor * n_params * real_tokens / dt_train / PEAK_BF16_FLOPS, 4)
+        del plm
+    model.checkpointing = False
 
     print(json.dumps({
         'metric': 'tokens/sec/chip (ESM2-650M unpadded fwd)',
