@@ -193,8 +193,16 @@ def trainable_mask(params: dict, lora_only=None,
         allowed_names = set(lora_only)
         lora_only = True
 
+    _linears = {'q', 'k', 'v', 'out', 'fc1', 'fc2', 'gate', 'up', 'down',
+                'dense', 'final'}
+
     def mark(path, leaf):
         keys = [getattr(p, 'key', None) for p in path]
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return False      # int8/NF4 quantized storage
+        if keys[-1] == 'scale' and len(keys) >= 2 \
+                and keys[-2] in _linears:
+            return False      # quantization scales, never trained
         if 'scale' in keys and 'lora' in keys:
             return False      # adapter metadata, never trained
         if not lora_only:

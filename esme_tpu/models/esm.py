@@ -206,14 +206,15 @@ class _ESMBase:
                         dtype='bfloat16', device=None):
         """Load a reference-schema safetensors checkpoint
         (reference: esme/esm.py:342-374). ``quantization`` in
-        {None, '8bit', '4bit'} quantizes the linear weights at load."""
-        cfg, params, name = load_pretrained(path, dtype=dtype)
-        model = _class_for(name.split('_')[0])(
+        {None, '8bit', '4bit'} quantizes each linear as it streams off
+        disk — the full-precision model never materializes on device,
+        so models whose bf16 size exceeds HBM still load quantized
+        (reference streams per-layer likewise, esme/esm.py:448-472)."""
+        cfg, params, name = load_pretrained(path, dtype=dtype,
+                                            quantization=quantization)
+        return _class_for(name.split('_')[0])(
             config=cfg, params=params, checkpointing=checkpointing,
             name=name)
-        if quantization is not None:
-            model.quantize(quantization)
-        return model
 
     def save_pretrained(self, path, name=None):
         save_pretrained(path, self.params, self.config, name or self.name)

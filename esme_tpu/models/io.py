@@ -24,11 +24,16 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
-from safetensors import flax as stf
+from safetensors import safe_open
+from safetensors import numpy as stn
 
 from .config import ESMConfig, esm1b_config, esm1v_config, esm2_config, \
     esmc_config
+
+_NP_DTYPES = {'bfloat16': ml_dtypes.bfloat16, 'float32': np.float32,
+              'float16': np.float16}
 
 
 def read_metadata(path: str) -> Dict[str, str]:
@@ -70,9 +75,15 @@ def _maybe(flat, out, file_key, value):
     return out
 
 
-def params_to_flat(params: dict, cfg: ESMConfig) -> Dict[str, jnp.ndarray]:
-    """Flatten the stacked param pytree into the reference key schema."""
-    flat: Dict[str, jnp.ndarray] = {}
+def params_to_flat(params: dict, cfg: ESMConfig) -> Dict[str, np.ndarray]:
+    """Flatten the stacked param pytree into the reference key schema.
+
+    Device arrays are fetched to host ONCE as whole stacked leaves (a
+    handful of large transfers), then sliced per layer in numpy — per
+    -layer device slicing would cost hundreds of round-trips on a
+    remote/tunneled backend."""
+    params = jax.tree.map(np.asarray, params)
+    flat: Dict[str, np.ndarray] = {}
     flat['embed_tokens.weight'] = params['embed_tokens']
 
     if cfg.learned_positions is not None:
@@ -87,7 +98,15 @@ def params_to_flat(params: dict, cfg: ESMConfig) -> Dict[str, jnp.ndarray]:
             flat[f'{prefix}.bias'] = p['bias']
 
     def put_linear(prefix, p):
-        flat[f'{prefix}.weight'] = jnp.swapaxes(p['kernel'], -1, -2)
+        if 'qvalue' in p:
+            # our quantized extension of the schema: storage stays in
+            # the kernel-native (in, out) layout (the reference cannot
+            # save quantized models at all — bitsandbytes limitation)
+            flat[f'{prefix}.qweight'] = p['qvalue']
+            flat[f'{prefix}.qscale'] = p['scale']
+        else:
+            flat[f'{prefix}.weight'] = np.ascontiguousarray(
+                np.swapaxes(p['kernel'], -1, -2))
         if 'bias' in p:
             flat[f'{prefix}.bias'] = p['bias']
 
@@ -125,12 +144,28 @@ def params_to_flat(params: dict, cfg: ESMConfig) -> Dict[str, jnp.ndarray]:
     return flat
 
 
-def flat_to_params(flat: Dict[str, jnp.ndarray], cfg: ESMConfig) -> dict:
-    """Rebuild the stacked param pytree from reference-schema tensors."""
-    dt = cfg.jnp_dtype
+def flat_to_params(flat, cfg: ESMConfig, quantization: Optional[str] = None
+                   ) -> dict:
+    """Rebuild the stacked param pytree from reference-schema tensors.
+
+    ``flat`` is any mapping ``key -> array`` supporting ``in`` — a plain
+    dict or the lazy safetensors reader from :func:`load_pretrained`.
+    The whole build runs on HOST numpy (per-layer reads, per-layer
+    quantization, host-side stacking); leaves transfer to device once at
+    the end, so the full-precision model never materializes on device —
+    the streaming behavior of the reference's per-layer quantized
+    loaders (reference: esme/esm.py:448-472).
+
+    ``quantization`` in {None, '8bit', '4bit'} quantizes each attention
+    and MLP linear as it is read (reference walks the same set,
+    esme/esm.py:448-472); embeddings, norms, and the LM head stay in
+    ``cfg.dtype`` like the reference's loaders.
+    """
+    from ..quant import quantize_kernel_np
+    dt = _NP_DTYPES[cfg.dtype]
 
     def get(key):
-        return jnp.asarray(flat[key]).astype(dt)
+        return np.asarray(flat[key]).astype(dt)
 
     def norm(prefix):
         p = {'scale': get(f'{prefix}.weight')}
@@ -138,15 +173,27 @@ def flat_to_params(flat: Dict[str, jnp.ndarray], cfg: ESMConfig) -> dict:
             p['bias'] = get(f'{prefix}.bias')
         return p
 
-    def lin(prefix):
-        p = {'kernel': jnp.swapaxes(get(f'{prefix}.weight'), -1, -2)}
+    def lin(prefix, quant=None):
+        if f'{prefix}.qweight' in flat:
+            # pre-quantized checkpoint (our schema extension)
+            p = {'qvalue': np.asarray(flat[f'{prefix}.qweight']),
+                 'scale': np.asarray(flat[f'{prefix}.qscale'])}
+        elif quant is not None:
+            kernel = np.swapaxes(
+                np.asarray(flat[f'{prefix}.weight']).astype(np.float32),
+                -1, -2)
+            p = quantize_kernel_np(np.ascontiguousarray(kernel), quant)
+        else:
+            p = {'kernel': np.ascontiguousarray(
+                np.swapaxes(get(f'{prefix}.weight'), -1, -2))}
         if f'{prefix}.bias' in flat:
             p['bias'] = get(f'{prefix}.bias')
         return p
 
-    def stack(fn, pattern):
-        per_layer = [fn(pattern.format(i=i)) for i in range(cfg.num_layers)]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    def stack(fn, pattern, **kw):
+        per_layer = [fn(pattern.format(i=i), **kw)
+                     for i in range(cfg.num_layers)]
+        return jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
 
     params = {'embed_tokens': get('embed_tokens.weight')}
     if cfg.learned_positions is not None:
@@ -154,12 +201,13 @@ def flat_to_params(flat: Dict[str, jnp.ndarray], cfg: ESMConfig) -> dict:
     if cfg.emb_layer_norm_before:
         params['emb_norm_before'] = norm('emb_layer_norm_before')
 
+    q = quantization
     attn = {
         'norm': stack(norm, 'layers.{i}.self_attn.norm'),
-        'q': stack(lin, 'layers.{i}.self_attn.q'),
-        'k': stack(lin, 'layers.{i}.self_attn.k'),
-        'v': stack(lin, 'layers.{i}.self_attn.v'),
-        'out': stack(lin, 'layers.{i}.self_attn.out'),
+        'q': stack(lin, 'layers.{i}.self_attn.q', quant=q),
+        'k': stack(lin, 'layers.{i}.self_attn.k', quant=q),
+        'v': stack(lin, 'layers.{i}.self_attn.v', quant=q),
+        'out': stack(lin, 'layers.{i}.self_attn.out', quant=q),
     }
     if cfg.qk_layernorm:
         attn['ln_q'] = stack(norm, 'layers.{i}.self_attn.layernorm_q')
@@ -168,15 +216,15 @@ def flat_to_params(flat: Dict[str, jnp.ndarray], cfg: ESMConfig) -> dict:
     if cfg.mlp == 'swiglu':
         mlp = {
             'norm': stack(norm, 'layers.{i}.final.0'),
-            'gate': stack(lin, 'layers.{i}.final.1.activation'),
-            'up': stack(lin, 'layers.{i}.final.1.fc'),
-            'down': stack(lin, 'layers.{i}.final.2'),
+            'gate': stack(lin, 'layers.{i}.final.1.activation', quant=q),
+            'up': stack(lin, 'layers.{i}.final.1.fc', quant=q),
+            'down': stack(lin, 'layers.{i}.final.2', quant=q),
         }
     else:
         mlp = {
             'norm': stack(norm, 'layers.{i}.final.0'),
-            'fc1': stack(lin, 'layers.{i}.final.1'),
-            'fc2': stack(lin, 'layers.{i}.final.3'),
+            'fc1': stack(lin, 'layers.{i}.final.1', quant=q),
+            'fc2': stack(lin, 'layers.{i}.final.3', quant=q),
         }
 
     params['layers'] = {'attn': attn, 'mlp': mlp}
@@ -192,11 +240,32 @@ def flat_to_params(flat: Dict[str, jnp.ndarray], cfg: ESMConfig) -> dict:
         'norm': norm('lm_head.layer_norm'),
         'final': final,
     }
-    return params
+    # one transfer per stacked leaf; device never sees full precision
+    return jax.tree.map(jnp.asarray, params)
+
+
+class _LazyFlat:
+    """Mapping view over an open safetensors file: tensors are read
+    from disk (mmap) only when accessed, then freed with the caller."""
+
+    def __init__(self, f):
+        self._f = f
+        self._keys = frozenset(f.keys())
+
+    def __contains__(self, key):
+        return key in self._keys
+
+    def __getitem__(self, key):
+        return self._f.get_tensor(key)
+
+    def keys(self):
+        return self._keys
 
 
 def save_pretrained(path: str, params: dict, cfg: ESMConfig, name: str):
-    """Write a reference-compatible safetensors checkpoint."""
+    """Write a reference-compatible safetensors checkpoint. Quantized
+    params save too (``.qweight``/``.qscale`` keys + ``quantization``
+    metadata — our extension; the reference cannot save quantized)."""
     flat = params_to_flat(params, cfg)
     metadata = {
         'name': name,
@@ -205,24 +274,43 @@ def save_pretrained(path: str, params: dict, cfg: ESMConfig, name: str):
         'attention_heads': str(cfg.attention_heads),
         'format': 'pt',
     }
-    stf.save_file({k: jnp.asarray(v) for k, v in flat.items()},
-                  path, metadata)
+    qdtypes = {np.dtype(np.int8): '8bit', np.dtype(np.uint8): '4bit'}
+    arrays = {}
+    for k, v in flat.items():
+        a = np.asarray(v)
+        arrays[k] = a
+        if k.endswith('.qweight'):
+            metadata['quantization'] = qdtypes[a.dtype]
+    stn.save_file(arrays, path, metadata)
 
 
-def load_pretrained(path: str, dtype='bfloat16'
+def load_pretrained(path: str, dtype='bfloat16',
+                    quantization: Optional[str] = None
                     ) -> Tuple[ESMConfig, dict, str]:
-    """Load a reference-schema safetensors checkpoint into
-    ``(config, params, name)``. Detects lm_head↔embedding weight tying
-    (the contract the reference asserts for its pretrained checkpoints,
-    reference: tests/test_esm.py:110,126,143) and realizes it: the tied
-    head projects through ``embed_tokens`` so fine-tuning gradients
-    accumulate into one tensor, like the reference's shared Parameter."""
+    """Stream a reference-schema safetensors checkpoint into
+    ``(config, params, name)``.
+
+    Tensors are read lazily per layer on host; with ``quantization``
+    set, each linear is quantized before the next layer is read and
+    only the quantized bytes ever reach the device (reference loader
+    walk: esme/esm.py:448-472). Also detects lm_head↔embedding weight
+    tying (the contract the reference asserts for its pretrained
+    checkpoints, reference: tests/test_esm.py:110,126,143) and realizes
+    it: the tied head projects through ``embed_tokens`` so fine-tuning
+    gradients accumulate into one tensor, like the reference's shared
+    Parameter."""
     from dataclasses import replace
     metadata = read_metadata(path)
     cfg, name = config_from_metadata(metadata, dtype=dtype)
-    flat = stf.load_file(path)
-    if 'lm_head.final.weight' in flat and bool(
-            (flat['lm_head.final.weight']
-             == flat['embed_tokens.weight']).all()):
-        cfg = replace(cfg, tie_lm_head=True)
-    return cfg, flat_to_params(flat, cfg), name
+    if 'quantization' in metadata and quantization is None:
+        quantization = metadata['quantization']
+    with safe_open(path, framework='numpy') as f:
+        flat = _LazyFlat(f)
+        if 'lm_head.final.weight' in flat:
+            head = flat['lm_head.final.weight']
+            emb = flat['embed_tokens.weight']
+            if head.shape == emb.shape and bool((head == emb).all()):
+                cfg = replace(cfg, tie_lm_head=True)
+            del head, emb
+        params = flat_to_params(flat, cfg, quantization=quantization)
+    return cfg, params, name

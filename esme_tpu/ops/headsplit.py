@@ -33,6 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_T = 256
 
+# Per-grid-step VMEM budget. The split kernel keeps 3 input rows
+# (bt, H·D), 3 output blocks (H, bt, D) — same bytes — all
+# double-buffered: ~12·bt·H·D·itemsize. At ESM2-3B width (H·D=2560)
+# bt=256 busts the 16MB scoped limit, so bt halves until it fits.
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _pick_bt(T: int, HD: int, itemsize: int, buffers: int) -> int:
+    bt = min(_BLOCK_T, T)
+    while bt > 16 and buffers * bt * HD * itemsize > _VMEM_BUDGET:
+        bt //= 2
+    while T % bt:
+        bt //= 2
+    return bt
+
 
 def _split_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref,
                   qo_ref, ko_ref, vo_ref, *, H, D, inverse_rotation):
@@ -85,7 +100,7 @@ def _pick_interpret(interpret):
 def _split_call(q2, k2, v2, cos, sin, H, inverse_rotation, interpret):
     T, HD = q2.shape
     D = HD // H
-    bt = min(_BLOCK_T, T)
+    bt = _pick_bt(T, HD, q2.dtype.itemsize, buffers=12)
     assert T % bt == 0, f'T={T} must be a multiple of {bt}'
     row = pl.BlockSpec((bt, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     trig = pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -106,7 +121,7 @@ def _split_call(q2, k2, v2, cos, sin, H, inverse_rotation, interpret):
 
 def _merge_call(x, cos, sin, rotate, inverse_rotation, interpret):
     H, T, D = x.shape
-    bt = min(_BLOCK_T, T)
+    bt = _pick_bt(T, H * D, x.dtype.itemsize, buffers=6)
     assert T % bt == 0, f'T={T} must be a multiple of {bt}'
     if cos is None:
         cos = jnp.zeros((T, D), x.dtype)
@@ -188,7 +203,7 @@ def _merge_bwd(interpret, H, dy):
     interpret = _pick_interpret(interpret)
     T, HD = dy.shape
     D = HD // H
-    bt = min(_BLOCK_T, T)
+    bt = _pick_bt(T, HD, dy.dtype.itemsize, buffers=6)
     assert T % bt == 0
     dx = pl.pallas_call(
         functools.partial(_split_one_kernel, H=H, D=D),

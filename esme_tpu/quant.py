@@ -52,6 +52,43 @@ def quantize_int8(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {'qvalue': q, 'scale': scale}
 
 
+def quantize_int8_np(kernel: np.ndarray) -> Dict[str, np.ndarray]:
+    """Host (numpy) twin of :func:`quantize_int8`, bit-identical output.
+    Used by the streaming loader so full-precision weights never touch
+    the device (reference streams per-layer too, esme/esm.py:448-472)."""
+    w = np.asarray(kernel, np.float32)
+    scale = np.abs(w).max(axis=-2, keepdims=True) / 127.0
+    scale[scale == 0] = 1.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return {'qvalue': q, 'scale': scale.astype(np.float32)}
+
+
+def quantize_nf4_np(kernel: np.ndarray, block: int = 64
+                    ) -> Dict[str, np.ndarray]:
+    """Host (numpy) twin of :func:`quantize_nf4`, bit-identical output."""
+    *lead, d_in, d_out = kernel.shape
+    assert d_in % block == 0, f'in dim {d_in} not divisible by {block}'
+    w = np.asarray(kernel, np.float32).reshape(
+        *lead, d_in // block, block, d_out)
+    absmax = np.abs(w).max(axis=-2, keepdims=True)
+    absmax[absmax == 0] = 1.0
+    idx = np.searchsorted(_NF4_BOUNDARIES, w / absmax,
+                          side='left').astype(np.uint8)
+    idx = idx.reshape(*lead, d_in // block, block // 2, 2, d_out)
+    packed = (idx[..., 0, :] | (idx[..., 1, :] << 4)).astype(np.uint8)
+    return {
+        'qvalue': packed.reshape(*lead, d_in // 2, d_out),
+        'scale': absmax.reshape(*lead, d_in // block, 1,
+                                d_out).astype(np.float32),
+    }
+
+
+def quantize_kernel_np(kernel: np.ndarray, mode: str) -> Dict[str, np.ndarray]:
+    fn = {'8bit': quantize_int8_np, '4bit': quantize_nf4_np,
+          '8bitexperimental': quantize_int8_np}[mode]
+    return fn(kernel)
+
+
 def quantize_nf4(kernel: jnp.ndarray, block: int = 64
                  ) -> Dict[str, jnp.ndarray]:
     """Blockwise NF4 over the input dim of ``(..., in, out)`` kernels."""

@@ -59,9 +59,28 @@ class CheckpointManager:
     def restore(self, state_template, step: Optional[int] = None):
         """Restore into the structure/shardings of ``state_template``
         (pass the freshly-initialized state)."""
+        import jax
         import orbax.checkpoint as ocp
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
-        return self._mgr.restore(
+        restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(state_template))
+
+        # Match the template's placement exactly so a sharded trainer
+        # resumes directly: mesh-sharded leaves re-pin to their
+        # NamedSharding; single-device template leaves (e.g. optimizer
+        # counters produced uncommitted by jit) come back as
+        # uncommitted host arrays — orbax commits them to device 0,
+        # which a multi-device jit then rejects.
+        import numpy as np
+
+        def _repin(t, r):
+            sh = getattr(t, 'sharding', None)
+            if sh is None:
+                return r
+            if isinstance(sh, jax.sharding.SingleDeviceSharding):
+                return jax.numpy.asarray(np.asarray(r))
+            return jax.device_put(r, sh)
+
+        return jax.tree.map(_repin, state_template, restored)

@@ -15,13 +15,19 @@ over a ``(data, fsdp)`` mesh:
 * gradients are psum'd across ``data``; the optimizer update runs
   outside the shard_map as purely-local elementwise math on shards;
 * XLA's latency-hiding scheduler overlaps the collectives with the
-  layer compute (the equivalent of DDP bucket overlap).
+  layer compute (the equivalent of DDP bucket overlap);
+* only trainable leaves are differentiated (LoRA under FSDP costs
+  LoRA-sized gradients; reference: esme/lora.py:97-108), gradient
+  accumulation via ``optax.MultiSteps`` (reference grad-accum:
+  workflow/train/runtime_lightning.py:106), and batches feed through
+  ``jax.make_array_from_process_local_data`` when running multi-host,
+  so the same step works on a pod slice.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,11 +38,16 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.esm import forward_flat, packed_meta
 from ..parallel.fsdp import (fsdp_partition_specs, make_layer_gather,
                              make_outer_gather, shard_params)
+from .partition import merge_leaves, split_by_mask
 
-try:
+import warnings
+
+with warnings.catch_warnings():
+    # jax>=0.8 moved shard_map to jax.shard_map with a changed
+    # signature (check_rep -> check_vma); the experimental entry still
+    # carries the stable signature this module uses
+    warnings.simplefilter('ignore', DeprecationWarning)
     from jax.experimental.shard_map import shard_map
-except ImportError:                                   # newer jax
-    from jax import shard_map
 
 
 class ShardedTrainState(NamedTuple):
@@ -58,10 +69,22 @@ def stack_batches(batches):
 
 
 class ShardedMaskedPLM:
-    """Masked-LM trainer over a ``(data, fsdp)`` mesh."""
+    """Masked-LM trainer over a ``(data, fsdp)`` mesh.
+
+    Args:
+        model: an :class:`esme_tpu.models.esm._ESMBase` instance.
+        mesh: a mesh with ``data`` and ``fsdp`` axes.
+        grad_accum: microbatches accumulated per optimizer step.
+        lora_only / train_lmhead / trainable_mask: trainable-leaf
+            selection, same contract as :class:`MaskedPLM`.
+        optimizer: override the optax optimizer.
+    """
 
     def __init__(self, model, mesh, learning_rate: float = 1e-4,
-                 weight_decay: float = 0.0, attn_impl: str = 'auto'):
+                 weight_decay: float = 0.0, attn_impl: str = 'auto',
+                 grad_accum: int = 1, lora_only=None,
+                 train_lmhead: bool = False, trainable_mask=None,
+                 optimizer=None):
         self.model = model
         self.mesh = mesh
         self.attn_impl = attn_impl
@@ -69,11 +92,20 @@ class ShardedMaskedPLM:
         self.specs = fsdp_partition_specs(model.params, mesh)
         params, _ = shard_params(model.params, mesh, self.specs)
 
-        self.optimizer = optax.adamw(learning_rate,
-                                     weight_decay=weight_decay) \
-            if weight_decay else optax.adam(learning_rate)
+        if optimizer is None:
+            optimizer = optax.adamw(learning_rate,
+                                    weight_decay=weight_decay) \
+                if weight_decay else optax.adam(learning_rate)
+        if grad_accum > 1:
+            optimizer = optax.MultiSteps(optimizer, grad_accum)
+        self.optimizer = optimizer
+
+        self._mask = trainable_mask if trainable_mask is not None else \
+            model.trainable_filter(lora_only=lora_only,
+                                   train_lmhead=train_lmhead)
+        train, _, _, _ = split_by_mask(params, self._mask)
         # opt state inherits param shardings through jit propagation
-        opt_state = jax.jit(self.optimizer.init)(params)
+        opt_state = jax.jit(self.optimizer.init)(train)
         self.state = ShardedTrainState(params, opt_state,
                                        jnp.zeros((), jnp.int32))
 
@@ -100,49 +132,95 @@ class ShardedMaskedPLM:
         c = jax.lax.psum(w.sum(), 'data')
         return -s / jnp.maximum(c, 1.0)
 
+    def _split_specs(self):
+        train_specs, frozen_specs, _, _ = split_by_mask(self.specs,
+                                                        self._mask)
+        return train_specs, frozen_specs
+
     @partial(jax.jit, static_argnames=('self', 'max_seqlen'),
              donate_argnames=('state',))
     def _step(self, state: ShardedTrainState, masked, targets, mask,
               cu_lens, max_seqlen: int):
         batch_spec = P('data', *([None] * (masked.ndim - 1)))
         cu_spec = P('data', None)
+        train, frozen, treedef, flags = split_by_mask(state.params,
+                                                      self._mask)
+        train_specs, frozen_specs = self._split_specs()
 
-        def compute(params, masked, targets, mask, cu_lens):
-            loss, grads = jax.value_and_grad(self._local_loss)(
-                params, masked, targets, mask, cu_lens, max_seqlen)
+        def compute(train, frozen, masked, targets, mask, cu_lens):
+            def loss_fn(train):
+                params = merge_leaves(train, frozen, treedef, flags)
+                return self._local_loss(params, masked, targets, mask,
+                                        cu_lens, max_seqlen)
+            loss, grads = jax.value_and_grad(loss_fn)(train)
             grads = jax.tree.map(lambda g: jax.lax.psum(g, 'data'), grads)
             return loss, grads
 
         loss, grads = shard_map(
             compute, mesh=self.mesh,
-            in_specs=(self.specs, batch_spec, batch_spec, batch_spec,
-                      cu_spec),
-            out_specs=(P(), self.specs),
+            in_specs=(train_specs, frozen_specs, batch_spec, batch_spec,
+                      batch_spec, cu_spec),
+            out_specs=(P(), train_specs),
             check_rep=False,
-        )(state.params, masked, targets, mask, cu_lens)
+        )(train, frozen, masked, targets, mask, cu_lens)
 
         updates, opt_state = self.optimizer.update(
-            grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+            grads, state.opt_state, train)
+        train = optax.apply_updates(train, updates)
+        params = merge_leaves(train, frozen, treedef, flags)
         return ShardedTrainState(params, opt_state, state.step + 1), loss
 
-    def training_step(self, batches) -> float:
-        """``batches``: list of R PackedBatches (R = data-axis size),
-        or a pre-stacked tuple from :func:`stack_batches`."""
+    @partial(jax.jit, static_argnames=('self', 'max_seqlen'))
+    def _val(self, params, masked, targets, mask, cu_lens,
+             max_seqlen: int):
+        batch_spec = P('data', *([None] * (masked.ndim - 1)))
+        return shard_map(
+            partial(self._local_loss, max_seqlen=max_seqlen),
+            mesh=self.mesh,
+            in_specs=(self.specs, batch_spec, batch_spec, batch_spec,
+                      P('data', None)),
+            out_specs=P(),
+            check_rep=False,
+        )(params, masked, targets, mask, cu_lens)
+
+    # -- batch placement ----------------------------------------------------
+
+    def _put(self, arr, sharding):
+        """Place a host batch on the mesh. Multi-host: every process
+        passes its LOCAL rows and jax assembles the global array
+        (the jax.distributed data plane, SURVEY.md §2.4)."""
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
+
+    def _place_batch(self, batches):
         if isinstance(batches, (list, tuple)) and hasattr(
                 batches[0], 'tokens'):
             masked, targets, mask, cu_lens, max_len = stack_batches(batches)
         else:
             masked, targets, mask, cu_lens, max_len = batches
         sh = NamedSharding(self.mesh, P('data', None))
-        self.state, loss = self._step(
-            self.state,
-            jax.device_put(jnp.asarray(masked, jnp.int32), sh),
-            jax.device_put(jnp.asarray(targets, jnp.int32), sh),
-            jax.device_put(jnp.asarray(mask), sh),
-            jax.device_put(jnp.asarray(cu_lens, jnp.int32), sh),
-            int(max_len))
+        return (self._put(np.asarray(masked, np.int32), sh),
+                self._put(np.asarray(targets, np.int32), sh),
+                self._put(np.asarray(mask), sh),
+                self._put(np.asarray(cu_lens, np.int32), sh),
+                int(max_len))
+
+    # -- public steps -------------------------------------------------------
+
+    def training_step(self, batches) -> float:
+        """``batches``: list of R PackedBatches (R = local data rows),
+        or a pre-stacked tuple from :func:`stack_batches`."""
+        masked, targets, mask, cu_lens, max_len = self._place_batch(batches)
+        self.state, loss = self._step(self.state, masked, targets, mask,
+                                      cu_lens, max_len)
         return float(loss)
+
+    def validation_step(self, batches) -> float:
+        """Global loss without updates (reference: esme/trainer.py:37-41)."""
+        masked, targets, mask, cu_lens, max_len = self._place_batch(batches)
+        return float(self._val(self.state.params, masked, targets, mask,
+                               cu_lens, max_len))
 
     def unsharded_params(self) -> dict:
         """Gather the full params back to host (for save_pretrained)."""

@@ -32,6 +32,7 @@ import optax
 from ..loss import cross_entropy, mse_loss
 from ..models.esm import forward_flat, packed_meta
 from ..models.heads import apply_learned_aggregation, apply_cls_head
+from .partition import merge_leaves, split_by_mask
 
 
 class TrainState(NamedTuple):
@@ -78,25 +79,21 @@ class MaskedPLM:
             optimizer = optax.adamw(learning_rate,
                                     weight_decay=weight_decay) \
                 if weight_decay else optax.adam(learning_rate)
-        # custom mask (e.g. positional-extension training,
-        # esme_tpu.extend.positions_only_mask) overrides the default
-        mask = trainable_mask if trainable_mask is not None else \
-            model.trainable_filter(lora_only=lora_only,
-                                   train_lmhead=train_lmhead)
-        if not jax.tree_util.tree_all(jax.tree.map(bool, mask)):
-            # NB optax.masked passes raw grads through for frozen
-            # leaves; multi_transform + set_to_zero actually freezes
-            labels = jax.tree.map(
-                lambda m: 'train' if m else 'freeze', mask)
-            optimizer = optax.multi_transform(
-                {'train': optimizer, 'freeze': optax.set_to_zero()},
-                labels)
         if grad_accum > 1:
             optimizer = optax.MultiSteps(optimizer, grad_accum)
         self.optimizer = optimizer
+        # custom mask (e.g. positional-extension training,
+        # esme_tpu.extend.positions_only_mask) overrides the default.
+        # Frozen leaves are never differentiated (split_by_mask), so
+        # LoRA steps cost LoRA-sized gradients and quantized (integer)
+        # bases train under adapters without grad-dtype errors.
+        self._mask = trainable_mask if trainable_mask is not None else \
+            model.trainable_filter(lora_only=lora_only,
+                                   train_lmhead=train_lmhead)
+        train, _, _, _ = split_by_mask(model.params, self._mask)
         self.state = TrainState(
             params=model.params,
-            opt_state=optimizer.init(model.params),
+            opt_state=optimizer.init(train),
             step=jnp.zeros((), jnp.int32))
 
     def _loss_fn(self, params, masked_tokens, seg_ids, pos_ids, targets,
@@ -111,12 +108,19 @@ class MaskedPLM:
              donate_argnames=('state',))
     def _step(self, state: TrainState, masked_tokens, seg_ids, pos_ids,
               targets, mask, max_seqlen: int):
-        loss, grads = jax.value_and_grad(self._loss_fn)(
-            state.params, masked_tokens, seg_ids, pos_ids, targets, mask,
-            max_seqlen)
+        train, frozen, treedef, flags = split_by_mask(state.params,
+                                                      self._mask)
+
+        def loss_fn(train):
+            params = merge_leaves(train, frozen, treedef, flags)
+            return self._loss_fn(params, masked_tokens, seg_ids, pos_ids,
+                                 targets, mask, max_seqlen)
+
+        loss, grads = jax.value_and_grad(loss_fn)(train)
         updates, opt_state = self.optimizer.update(
-            grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+            grads, state.opt_state, train)
+        train = optax.apply_updates(train, updates)
+        params = merge_leaves(train, frozen, treedef, flags)
         return TrainState(params, opt_state, state.step + 1), loss
 
     def training_step(self, batch) -> float:

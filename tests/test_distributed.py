@@ -95,6 +95,124 @@ def test_sharded_loss_decreases(fasta_path):
     assert last < first
 
 
+def test_sharded_lora_training(fasta_path):
+    """LoRA under FSDP (VERDICT r1 item 4): only adapter leaves update,
+    loss parity with the single-device LoRA trainer."""
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    batches = [ds[0], ds[1 % len(ds)]]
+
+    def lora_model():
+        m = tiny()
+        m.add_lora(rank=4, alpha=8.0, adapter_names=['a'], rng=3)
+        return m
+
+    single = MaskedPLM(lora_model(), learning_rate=1e-3)
+    losses, counts = [], []
+    for b in batches:
+        losses.append(single.validation_step(b))
+        counts.append(b.mask.sum())
+    want = float(np.average(losses, weights=counts))
+
+    mesh = make_mesh(data=2)
+    trainer = ShardedMaskedPLM(lora_model(), mesh, learning_rate=1e-3)
+    before = jax.device_get(trainer.state.params)
+    got = trainer.training_step(batches)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    after = jax.device_get(trainer.state.params)
+    # trunk frozen, adapters moved
+    np.testing.assert_array_equal(
+        before['layers']['attn']['q']['kernel'],
+        after['layers']['attn']['q']['kernel'])
+    assert np.abs(after['layers']['attn']['q']['lora']['a']['b']
+                  - before['layers']['attn']['q']['lora']['a']['b']).max() > 0
+
+    # several steps reduce the loss through adapters alone
+    first = trainer.training_step(batches)
+    for _ in range(5):
+        last = trainer.training_step(batches)
+    assert last < first
+
+
+def test_sharded_lora_over_quantized(fasta_path):
+    """QLoRA under FSDP: int8 base + trainable adapters."""
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    m = tiny().quantize('8bit')
+    m.add_lora(rank=4, alpha=8.0, adapter_names=['a'], rng=3)
+    mesh = make_mesh(data=2)
+    trainer = ShardedMaskedPLM(m, mesh, learning_rate=1e-3)
+    batches = [ds[0], ds[0]]
+    first = trainer.training_step(batches)
+    for _ in range(5):
+        last = trainer.training_step(batches)
+    assert np.isfinite(first) and last < first
+    q = jax.device_get(trainer.state.params)['layers']['attn']['q']
+    assert q['qvalue'].dtype == np.int8
+
+
+def test_sharded_grad_accum(fasta_path):
+    """optax.MultiSteps under FSDP: params move only every k-th step."""
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    mesh = make_mesh(data=2)
+    trainer = ShardedMaskedPLM(tiny(), mesh, learning_rate=1e-3,
+                               grad_accum=2)
+    batches = [ds[0], ds[1 % len(ds)]]
+    p0 = jax.device_get(trainer.state.params['embed_tokens'])
+    trainer.training_step(batches)
+    p1 = jax.device_get(trainer.state.params['embed_tokens'])
+    np.testing.assert_array_equal(p0, p1)      # accumulating, no update
+    trainer.training_step(batches)
+    p2 = jax.device_get(trainer.state.params['embed_tokens'])
+    assert np.abs(p2 - p1).max() > 0           # applied at step 2
+
+
+def test_sharded_validation_step(fasta_path):
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    mesh = make_mesh(data=2)
+    trainer = ShardedMaskedPLM(tiny(), mesh, learning_rate=1e-3)
+    batches = [ds[0], ds[1 % len(ds)]]
+    v1 = trainer.validation_step(batches)
+    p0 = jax.device_get(trainer.state.params['embed_tokens'])
+    v2 = trainer.validation_step(batches)
+    assert v1 == v2                            # no state change
+    np.testing.assert_array_equal(
+        p0, jax.device_get(trainer.state.params['embed_tokens']))
+    t = trainer.training_step(batches)
+    np.testing.assert_allclose(t, v1, rtol=1e-4)
+
+
+def test_sharded_checkpoint_restore(fasta_path, tmp_path):
+    """Orbax save from a sharded trainer restores into a fresh sharded
+    trainer with identical shardings and bit-identical params."""
+    from esme_tpu.train.checkpoint import CheckpointManager
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    mesh = make_mesh(data=2)
+    trainer = ShardedMaskedPLM(tiny(), mesh, learning_rate=1e-3)
+    batches = [ds[0], ds[1 % len(ds)]]
+    trainer.training_step(batches)
+    mgr = CheckpointManager(str(tmp_path / 'ckpt'))
+    mgr.save(1, trainer.state, metrics={'val_loss': 1.0})
+
+    fresh = ShardedMaskedPLM(tiny(), mesh, learning_rate=1e-3)
+    restored = mgr.restore(fresh.state)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(trainer.state.params),
+        jax.device_get(restored.params))
+    # restored arrays keep the fsdp sharding of the template
+    k = restored.params['layers']['attn']['q']['kernel']
+    assert len(k.addressable_shards) == 8
+    fresh.state = restored
+    loss = fresh.training_step(batches)
+    assert np.isfinite(loss)
+
+
 def test_graft_dryrun_multichip():
     import importlib.util
     spec = importlib.util.spec_from_file_location(

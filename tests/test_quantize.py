@@ -78,14 +78,63 @@ def test_model_quantized_forward(mode):
     assert agree > (0.9 if mode == '8bit' else 0.5)
 
 
-def test_quantized_save_not_supported_yet_loads_dense(tmp_path):
-    # from_pretrained with quantization quantizes at load
+def test_np_quantizers_match_jnp():
+    """The streaming loader's host quantizers must be bit-identical to
+    the in-memory jnp ones."""
+    from esme_tpu.quant import quantize_int8_np, quantize_nf4_np
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((128, 64)).astype(np.float32) * 0.07
+    for np_fn, j_fn in ((quantize_int8_np, quantize_int8),
+                        (quantize_nf4_np, quantize_nf4)):
+        a = np_fn(w)
+        b = j_fn(jnp.asarray(w))
+        np.testing.assert_array_equal(a['qvalue'], np.asarray(b['qvalue']))
+        np.testing.assert_array_equal(a['scale'], np.asarray(b['scale']))
+
+
+@pytest.mark.parametrize('mode', ['8bit', '4bit'])
+def test_quantize_at_load_streaming(tmp_path, mode):
+    """from_pretrained(quantization=...) quantizes while streaming and
+    matches load-then-quantize exactly (VERDICT r1 item 3)."""
     from esme_tpu import ESM, ESM2
     from esme_tpu.models.config import esm2_config
-    cfg = esm2_config(num_layers=1, embed_dim=64, attention_heads=4,
+    cfg = esm2_config(num_layers=2, embed_dim=64, attention_heads=4,
                       dtype='float32')
     m = ESM2(config=cfg, rng=0)
     path = str(tmp_path / 'q.safetensors')
     m.save_pretrained(path, name='esm2_tiny')
-    loaded = ESM.from_pretrained(path, quantization='8bit', dtype='float32')
+
+    streamed = ESM.from_pretrained(path, quantization=mode, dtype='float32')
+    assert 'qvalue' in streamed.params['layers']['mlp']['fc1']
+    assert 'kernel' not in streamed.params['layers']['attn']['q']
+
+    post_hoc = ESM.from_pretrained(path, dtype='float32').quantize(mode)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        streamed.params, post_hoc.params)
+
+
+def test_quantized_save_load_roundtrip(tmp_path):
+    """Quantized models save and reload exactly (replaces the
+    'unsupported' placeholder; our schema extension, see models/io.py)."""
+    from esme_tpu import ESM, ESM2, tokenize_unpad
+    from esme_tpu.models.config import esm2_config
+    cfg = esm2_config(num_layers=2, embed_dim=64, attention_heads=4,
+                      dtype='float32')
+    m = ESM2(config=cfg, rng=0).quantize('4bit')
+    path = str(tmp_path / 'q4.safetensors')
+    m.save_pretrained(path, name='esm2_tiny')
+
+    loaded = ESM.from_pretrained(path, dtype='float32')
     assert 'qvalue' in loaded.params['layers']['mlp']['fc1']
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        m.params, loaded.params)
+
+    seqs = ['MAGVLKE', 'LKEMPVAP']
+    tok, _, cu, ml = tokenize_unpad(seqs, alphabet=m.alphabet)
+    np.testing.assert_array_equal(
+        np.asarray(m.predict_log_prob(tok, pad_args=(cu, ml))),
+        np.asarray(loaded.predict_log_prob(tok, pad_args=(cu, ml))))
