@@ -12,25 +12,6 @@ sys.path.insert(0, __file__.rsplit('/', 2)[0])
 import numpy as np
 
 
-def auroc(y, s):
-    order = np.argsort(-np.asarray(s))
-    y = np.asarray(y)[order]
-    tp = np.cumsum(y)
-    fp = np.cumsum(1 - y)
-    tpr = tp / max(tp[-1], 1)
-    fpr = fp / max(fp[-1], 1)
-    return float(np.trapezoid(tpr, fpr))
-
-
-def auprc(y, s):
-    order = np.argsort(-np.asarray(s))
-    y = np.asarray(y)[order]
-    tp = np.cumsum(y)
-    prec = tp / (np.arange(len(y)) + 1)
-    rec = tp / max(tp[-1], 1)
-    return float(np.trapezoid(prec, rec))
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--csv', required=True)
@@ -51,11 +32,10 @@ def main():
     from functools import partial
     from esme_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-    from esme_tpu.data import LabeledDataset
-    from esme_tpu.loss import bce_with_logits
-    from esme_tpu.models.esm import ESM, forward_flat, packed_meta
-    from esme_tpu.models.heads import (apply_learned_aggregation,
-                                       init_learned_aggregation)
+    from esme_tpu.data import LabeledDataset, balance_binary
+    from esme_tpu.models.esm import ESM
+    from esme_tpu.models.heads import init_learned_aggregation
+    from esme_tpu.train import ClassificationTrainer
 
     df = pd.read_csv(args.csv)
     if 'split' not in df:
@@ -68,26 +48,13 @@ def main():
     head = init_learned_aggregation(0, model.config.embed_dim, num_cls=1,
                                     attention_heads=4)
 
-    # BCE variant of the regression trainer
-    from esme_tpu.train.trainer import RegressionTrainer
-
-    class BCETrainer(RegressionTrainer):
-        def _loss_fn(self, params, tokens, seg_ids, pos_ids, labels,
-                     weight, num_segments, max_seqlen):
-            pred = self._predict(params, tokens, seg_ids, pos_ids,
-                                 num_segments, max_seqlen)
-            return bce_with_logits(pred, labels, weight)
-
-    trainer = BCETrainer(model, head, head_lr=1e-3, lr=1e-4)
+    trainer = ClassificationTrainer(model, head, head_lr=1e-3, lr=1e-4)
 
     def epoch_dataset(epoch):
-        t = tr
-        if args.upsample:
-            pos = tr[tr.label == 1]
-            k = max(1, len(tr[tr.label == 0]) // max(len(pos), 1))
-            t = pd.concat([tr] + [pos] * (k - 1))
-        return LabeledDataset(t.sequence.tolist(),
-                              t.label.astype(float).tolist(),
+        seqs, labels = balance_binary(
+            tr.sequence.tolist(), tr.label.astype(float).tolist(),
+            balance='upsample' if args.upsample else None)
+        return LabeledDataset(seqs, labels,
                               token_per_batch=args.token_per_batch,
                               shuffle=True, random_state=epoch,
                               truncate_len=args.truncate_len,
@@ -101,13 +68,9 @@ def main():
 
     for epoch in range(args.epochs):
         losses = [trainer.training_step(b) for b in epoch_dataset(epoch)]
-        preds, ys = [], []
-        for b in val_ds:
-            p = trainer.predict(b)
-            preds.extend(p.tolist())
-            ys.extend(np.asarray(b.labels)[:len(p)].tolist())
+        m = trainer.validation_metrics(val_ds)
         print(f'epoch {epoch}: bce {np.mean(losses):.4f} '
-              f'auroc {auroc(ys, preds):.4f} auprc {auprc(ys, preds):.4f}',
+              f'auroc {m["val_auroc"]:.4f} auprc {m["val_auprc"]:.4f}',
               flush=True)
 
 

@@ -17,7 +17,7 @@ from .fasta import Fasta, read_fai, write_fai
 from .data import (FastaDataset, FastaTokenDataset, MaskedFastaDataset,
                    MaskedFastaTokenDataset, MaskedFastaTokenDataModule,
                    LabeledDataset, PackedBatch, Prefetcher,
-                   TokenSizeBatchSampler)
+                   TokenSizeBatchSampler, balance_binary)
 from .models.config import (ESMConfig, config_for, esm1b_config,
                             esm1v_config, esm2_config, esmc_config)
 from .models.esm import ESM, ESM1b, ESM1v, ESM2, ESMC

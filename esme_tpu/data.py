@@ -363,6 +363,28 @@ class LabeledDataset:
             yield self[i]
 
 
+def balance_binary(seqs, labels, balance: Optional[str] = 'upsample',
+                   rng=None):
+    """Class-balance a binary (sequence, label) set by repeating the
+    positive class (``'upsample'``) or subsampling the negative class
+    (``'downsample'``) — the reference TF dataset's balancing
+    (reference: workflow/tf/finetune.py:21-56)."""
+    assert balance in (None, 'upsample', 'downsample')
+    if balance is None:
+        return list(seqs), list(labels)
+    seqs, labels = list(seqs), list(labels)
+    pos = [s for s, y in zip(seqs, labels) if y]
+    neg = [s for s, y in zip(seqs, labels) if not y]
+    if balance == 'upsample':
+        imbalance = max(len(neg) // max(len(pos), 1), 1)
+        pos = pos * imbalance
+    else:
+        rng = rng or np.random.default_rng()
+        idx = rng.permutation(len(neg))[:max(len(pos), 1)]
+        neg = [neg[i] for i in idx]
+    return pos + neg, [1.0] * len(pos) + [0.0] * len(neg)
+
+
 class Prefetcher:
     """Background prefetch of host batches (the DataLoader-worker
     equivalent, reference: esme/data.py:109-112). Tokenisation/masking

@@ -1,1 +1,2 @@
-from .trainer import MaskedPLM, RegressionTrainer, TrainState
+from .trainer import (ClassificationTrainer, MaskedPLM, RegressionTrainer,
+                      TrainState)

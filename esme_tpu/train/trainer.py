@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..loss import cross_entropy, mse_loss
+from ..loss import bce_with_logits, cross_entropy, mse_loss
+from ..metrics import auprc, auroc, spearman as _spearman
 from ..models.esm import forward_flat, packed_meta
 from ..models.heads import apply_learned_aggregation, apply_cls_head
 from .partition import merge_leaves, split_by_mask
@@ -39,21 +40,6 @@ class TrainState(NamedTuple):
     params: dict
     opt_state: optax.OptState
     step: jnp.ndarray
-
-
-def _spearman(pred: np.ndarray, target: np.ndarray) -> float:
-    """Spearman rank correlation (torchmetrics equivalent,
-    reference: esme/trainer.py:59-60)."""
-    def rank(a):
-        order = np.argsort(a)
-        r = np.empty_like(order, dtype=np.float64)
-        r[order] = np.arange(len(a))
-        return r
-    rp, rt = rank(pred), rank(target)
-    rp -= rp.mean()
-    rt -= rt.mean()
-    denom = np.sqrt((rp ** 2).sum() * (rt ** 2).sum())
-    return float((rp * rt).sum() / denom) if denom > 0 else 0.0
 
 
 class MaskedPLM:
@@ -281,3 +267,34 @@ class RegressionTrainer:
         target = np.concatenate(targets)
         return {'val_mse': float(((pred - target) ** 2).mean()),
                 'val_spearman': _spearman(pred, target)}
+
+
+class ClassificationTrainer(RegressionTrainer):
+    """PLM + pooled head binary classification with BCE loss — the TF
+    task promoted into the library (reference: workflow/tf/finetune.py
+    TfModel: frozen/LoRA trunk + MLP head, BCE-with-logits, AUROC/AUPRC
+    vs DeepTFactor). Same pooled-head machinery as
+    :class:`RegressionTrainer`; ``predict`` returns logits, validation
+    reports BCE + AUROC + AUPRC."""
+
+    def _loss_fn(self, params, tokens, seg_ids, pos_ids, labels, weight,
+                 num_segments, max_seqlen):
+        pred = self._predict(params, tokens, seg_ids, pos_ids,
+                             num_segments, max_seqlen)
+        return bce_with_logits(pred, labels, weight)
+
+    def validation_metrics(self, dataset) -> dict:
+        """val BCE + AUROC + AUPRC (reference TF metrics:
+        workflow/tf/finetune.py)."""
+        preds, targets = [], []
+        for batch in dataset:
+            p = self.predict(batch)
+            preds.append(p)
+            targets.append(np.asarray(batch.labels)[:len(p)])
+        logits = np.concatenate(preds).astype(np.float64)
+        target = np.concatenate(targets).astype(np.float64)
+        per = np.maximum(logits, 0) - logits * target \
+            + np.log1p(np.exp(-np.abs(logits)))
+        return {'val_bce': float(per.mean()),
+                'val_auroc': auroc(target, logits),
+                'val_auprc': auprc(target, logits)}

@@ -12,7 +12,7 @@ from esme_tpu import ESM2, MaskedFastaTokenDataset
 from esme_tpu.data import LabeledDataset
 from esme_tpu.models.config import esm2_config
 from esme_tpu.models.heads import init_learned_aggregation
-from esme_tpu.train import MaskedPLM, RegressionTrainer
+from esme_tpu.train import ClassificationTrainer, MaskedPLM, RegressionTrainer
 
 
 def tiny(checkpointing=False):
@@ -98,3 +98,58 @@ def test_regression_trainer_learns():
     metrics = trainer.validation_metrics(ds)
     assert 'val_spearman' in metrics
     assert metrics['val_spearman'] > 0.5
+
+
+def test_classification_trainer_learns():
+    """BCE fine-tune separates a synthetic binary task (VERDICT next-9;
+    reference task: workflow/tf/finetune.py)."""
+    rng = np.random.default_rng(1)
+    # positives are long sequences: linearly separable from pooling
+    seqs, labels = [], []
+    for _ in range(12):
+        seqs.append('M' * int(rng.integers(25, 40)))
+        labels.append(1.0)
+        seqs.append('M' * int(rng.integers(5, 15)))
+        labels.append(0.0)
+    ds = LabeledDataset(seqs, labels, token_per_batch=512, shuffle=False)
+
+    model = tiny()
+    head = init_learned_aggregation(0, embed_dim=64, num_cls=1,
+                                    attention_heads=4, dtype=jnp.float32)
+    trainer = ClassificationTrainer(model, head, head_lr=5e-3, lr=1e-4)
+    losses = []
+    for _ in range(15):
+        for batch in ds:
+            losses.append(trainer.training_step(batch))
+    assert losses[-1] < losses[0]
+    metrics = trainer.validation_metrics(ds)
+    assert metrics['val_auroc'] > 0.9
+    assert metrics['val_auprc'] > 0.9
+
+
+def test_balance_binary():
+    from esme_tpu.data import balance_binary
+    seqs = ['A'] * 3 + ['B'] * 9
+    labels = [1.0] * 3 + [0.0] * 9
+    s, y = balance_binary(seqs, labels, 'upsample')
+    assert sum(y) == 9 and len(y) == 18   # 3 positives * (9//3)
+    s, y = balance_binary(seqs, labels, 'downsample',
+                          rng=np.random.default_rng(0))
+    assert sum(y) == 3 and len(y) == 6
+    s, y = balance_binary(seqs, labels, None)
+    assert (s, y) == (seqs, labels)
+
+
+def test_metrics_against_known_values():
+    """AUROC/AUPRC/Spearman sanity against hand-computed values."""
+    from esme_tpu.metrics import auprc, auroc, spearman
+    y = [0, 0, 1, 1]
+    s = [0.1, 0.4, 0.35, 0.8]
+    # sklearn roc_auc_score(y, s) == 0.75, average_precision == 0.8333...
+    assert abs(auroc(y, s) - 0.75) < 1e-9
+    assert abs(auprc(y, s) - (1.0 + 2 / 3) / 2) < 1e-9
+    assert abs(spearman([1, 2, 3, 4], [1, 2, 3, 4]) - 1.0) < 1e-12
+    assert abs(spearman([1, 2, 3, 4], [4, 3, 2, 1]) + 1.0) < 1e-12
+    # ties are rank-averaged like scipy
+    assert abs(spearman([1, 1, 2], [1, 2, 3])
+               - 0.8660254037844387) < 1e-9
