@@ -59,14 +59,15 @@ def _embed_flat(params, cfg: ESMConfig, tokens, pos_ids):
 @partial(jax.jit, static_argnames=(
     'cfg', 'with_head', 'log_prob', 'lora_names', 'attn_impl',
     'checkpointing', 'collect_layers', 'max_seqlen', 'layer_gather',
-    'outer_gather'))
+    'outer_gather', 'lora_dropout'))
 def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                  with_head: bool = True, log_prob: bool = False,
                  lora_names: Optional[Tuple[str, ...]] = None,
                  attn_impl: str = 'auto', checkpointing: bool = False,
                  collect_layers: Optional[Tuple[int, ...]] = None,
                  max_seqlen: Optional[int] = None,
-                 layer_gather=None, outer_gather=None):
+                 layer_gather=None, outer_gather=None,
+                 lora_dropout: float = 0.0, dropout_rng=None):
     """Trunk (+ optional LM head) over flat tokens with explicit
     segment/position metadata. Returns ``(T, C)``.
 
@@ -105,7 +106,8 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                           checkpointing=checkpointing,
                           collect_layers=collect_layers,
                           max_seqlen=max_seqlen, gather_fn=layer_gather,
-                          rope=rope)
+                          rope=rope, lora_dropout=lora_dropout,
+                          dropout_rng=dropout_rng)
     x = apply_norm(x, params['emb_norm_after'])
 
     if t_pad and attn_impl != 'reference':
@@ -325,12 +327,15 @@ class _ESMBase:
     # -- LoRA --------------------------------------------------------------
 
     def add_lora(self, rank=16, alpha=16, layers=('query', 'value', 'output'),
-                 adapter_names=None, rng: int | jax.Array = 0):
-        """(reference: esme/esm.py:495-543)"""
+                 adapter_names=None, dropout_p: float = 0.0,
+                 rng: int | jax.Array = 0):
+        """(reference: esme/esm.py:495-543). ``dropout_p`` drops each
+        adapter's output contribution during training steps
+        (reference: esme/lora.py:84-88)."""
         from ..lora import add_lora_params
         self.params, self.lora_kwargs = add_lora_params(
             self.params, self.config, rank=rank, alpha=alpha, layers=layers,
-            adapter_names=adapter_names, rng=rng)
+            adapter_names=adapter_names, dropout_p=dropout_p, rng=rng)
         return self
 
     def lora_state_dict(self, adapter_names=None):

@@ -41,7 +41,8 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
                     lora_names: Optional[Sequence[str]] = None,
                     attn_impl: str = 'auto',
                     max_seqlen: Optional[int] = None,
-                    rope: Optional[tuple] = None):
+                    rope: Optional[tuple] = None,
+                    lora_dropout: float = 0.0, dropout_rng=None):
     """Multi-head self-attention over the packed layout
     (reference: esme/attention.py:91-139).
 
@@ -50,9 +51,12 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
     reference: esme/attention.py:104-105) before the head split.
     """
     h = apply_norm(x, params['norm'])
-    q = linear(h, params['q'], lora_names)
-    k = linear(h, params['k'], lora_names)
-    v = linear(h, params['v'], lora_names)
+    rngs = [None] * 4
+    if dropout_rng is not None and lora_dropout > 0.0:
+        rngs = [jax.random.fold_in(dropout_rng, i) for i in range(4)]
+    q = linear(h, params['q'], lora_names, lora_dropout, rngs[0])
+    k = linear(h, params['k'], lora_names, lora_dropout, rngs[1])
+    v = linear(h, params['v'], lora_names, lora_dropout, rngs[2])
 
     if cfg.qk_layernorm:
         q = apply_norm(q, params['ln_q'])
@@ -79,7 +83,8 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
         qh, kh, vh = split_heads_rotary(q, k, v, cos, sin, H)
         o = segment_attention(qh, kh, vh, seg_ids, impl='flash',
                               max_seqlen=max_seqlen, layout='htd')
-        return linear(merge_heads(o), params['out'], lora_names)
+        return linear(merge_heads(o), params['out'], lora_names,
+                      lora_dropout, rngs[3])
 
     q = q.reshape(T, H, Dh)
     k = k.reshape(T, H, Dh)
@@ -96,7 +101,7 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
     o = segment_attention(q, k, v, seg_ids, impl=attn_impl,
                           max_seqlen=max_seqlen)
     o = o.reshape(T, H * Dh)
-    return linear(o, params['out'], lora_names)
+    return linear(o, params['out'], lora_names, lora_dropout, rngs[3])
 
 
 def mlp_block(x, params, cfg):
@@ -116,13 +121,14 @@ def mlp_block(x, params, cfg):
 def transformer_layer(x, params, cfg, seg_ids, pos_ids,
                       lora_names=None, attn_impl: str = 'auto',
                       max_seqlen: Optional[int] = None,
-                      rope: Optional[tuple] = None):
+                      rope: Optional[tuple] = None,
+                      lora_dropout: float = 0.0, dropout_rng=None):
     """Pre-norm residual block with residue scaling
     (reference: esme/attention.py:241-255)."""
     inv_scale = 1.0 / cfg.residue_scaling
     x = x + attention_block(x, params['attn'], cfg, seg_ids, pos_ids,
-                            lora_names, attn_impl, max_seqlen,
-                            rope) * inv_scale
+                            lora_names, attn_impl, max_seqlen, rope,
+                            lora_dropout, dropout_rng) * inv_scale
     x = x + mlp_block(x, params['mlp'], cfg) * inv_scale
     return x
 
@@ -131,7 +137,8 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
                 attn_impl: str = 'auto', checkpointing: bool = False,
                 collect_layers: Optional[Sequence[int]] = None,
                 max_seqlen: Optional[int] = None, gather_fn=None,
-                rope: Optional[tuple] = None):
+                rope: Optional[tuple] = None,
+                lora_dropout: float = 0.0, dropout_rng=None):
     """Run all layers via ``lax.scan`` over stacked per-layer params.
 
     ``gather_fn`` (FSDP hook) all-gathers one layer's param shards
@@ -153,8 +160,11 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
         layer_params, idx = xs
         if gather_fn is not None:
             layer_params = gather_fn(layer_params)
+        layer_rng = None if dropout_rng is None \
+            else jax.random.fold_in(dropout_rng, idx)
         out = transformer_layer(x, layer_params, cfg, seg_ids, pos_ids,
-                                lora_names, attn_impl, max_seqlen, rope)
+                                lora_names, attn_impl, max_seqlen, rope,
+                                lora_dropout, layer_rng)
         if collect_layers:
             reps = tuple(jnp.where(idx == ci, out, r)
                          for ci, r in zip(collect_layers, reps))

@@ -42,9 +42,15 @@ def matmul(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def linear(x: jnp.ndarray, params: dict,
-           lora_names: Optional[Sequence[str]] = None) -> jnp.ndarray:
+           lora_names: Optional[Sequence[str]] = None,
+           lora_dropout: float = 0.0,
+           dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Apply a linear layer param dict (dense or quantized), plus any
-    selected LoRA adapters."""
+    selected LoRA adapters.
+
+    ``lora_dropout``/``dropout_rng``: training-time inverted dropout on
+    each adapter's output contribution (the reference drops the adapter
+    output, not the input: esme/lora.py:84-88). No rng ⇒ eval mode."""
     if 'qvalue' in params:
         from ..quant import quantized_matmul
         y = quantized_matmul(x, params)
@@ -57,9 +63,17 @@ def linear(x: jnp.ndarray, params: dict,
     lora = params.get('lora')
     if lora:
         names = lora_names if lora_names is not None else sorted(lora.keys())
-        for name in names:
+        for j, name in enumerate(names):
             adapter = lora[name]
             scale = jax.lax.stop_gradient(adapter['scale']).astype(x.dtype)
-            y = y + matmul(matmul(x, adapter['a']), adapter['b']) * scale
+            contrib = matmul(matmul(x, adapter['a']), adapter['b']) * scale
+            if dropout_rng is not None and lora_dropout > 0.0:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_rng, j),
+                    1.0 - lora_dropout, contrib.shape)
+                contrib = jnp.where(keep,
+                                    contrib / (1.0 - lora_dropout),
+                                    0.0).astype(contrib.dtype)
+            y = y + contrib
 
     return y

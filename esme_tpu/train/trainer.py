@@ -76,6 +76,11 @@ class MaskedPLM:
         self._mask = trainable_mask if trainable_mask is not None else \
             model.trainable_filter(lora_only=lora_only,
                                    train_lmhead=train_lmhead)
+        # LoRA dropout is training-only (reference: esme/lora.py:84-88);
+        # rng folds the step so every step gets a fresh mask.
+        self._lora_dropout = float(
+            (model.lora_kwargs or {}).get('dropout_p', 0.0) or 0.0)
+        self._dropout_key = jax.random.key(0x10ad)
         train, _, _, _ = split_by_mask(model.params, self._mask)
         self.state = TrainState(
             params=model.params,
@@ -83,11 +88,13 @@ class MaskedPLM:
             step=jnp.zeros((), jnp.int32))
 
     def _loss_fn(self, params, masked_tokens, seg_ids, pos_ids, targets,
-                 mask, max_seqlen):
+                 mask, max_seqlen, dropout_rng=None):
         logits = forward_flat(
             params, self.model.config, masked_tokens, seg_ids, pos_ids,
             with_head=True, attn_impl=self.attn_impl,
-            checkpointing=self.model.checkpointing, max_seqlen=max_seqlen)
+            checkpointing=self.model.checkpointing, max_seqlen=max_seqlen,
+            lora_dropout=self._lora_dropout if dropout_rng is not None
+            else 0.0, dropout_rng=dropout_rng)
         return cross_entropy(logits, targets, mask)
 
     @partial(jax.jit, static_argnames=('self', 'max_seqlen'),
@@ -96,11 +103,13 @@ class MaskedPLM:
               targets, mask, max_seqlen: int):
         train, frozen, treedef, flags = split_by_mask(state.params,
                                                       self._mask)
+        dropout_rng = jax.random.fold_in(self._dropout_key, state.step) \
+            if self._lora_dropout > 0.0 else None
 
         def loss_fn(train):
             params = merge_leaves(train, frozen, treedef, flags)
             return self._loss_fn(params, masked_tokens, seg_ids, pos_ids,
-                                 targets, mask, max_seqlen)
+                                 targets, mask, max_seqlen, dropout_rng)
 
         loss, grads = jax.value_and_grad(loss_fn)(train)
         updates, opt_state = self.optimizer.update(
@@ -173,6 +182,9 @@ class RegressionTrainer:
         self.head = head
         self.head_attention_heads = head_attention_heads
         self.attn_impl = attn_impl
+        self._lora_dropout = float(
+            (model.lora_kwargs or {}).get('dropout_p', 0.0) or 0.0)
+        self._dropout_key = jax.random.key(0x10ad)
 
         params = {'plm': model.params, 'head': head_params}
 
@@ -199,11 +211,13 @@ class RegressionTrainer:
                                 step=jnp.zeros((), jnp.int32))
 
     def _predict(self, params, tokens, seg_ids, pos_ids, num_segments,
-                 max_seqlen):
+                 max_seqlen, dropout_rng=None):
         rep = forward_flat(
             params['plm'], self.model.config, tokens, seg_ids, pos_ids,
             with_head=False, attn_impl=self.attn_impl,
-            checkpointing=self.model.checkpointing, max_seqlen=max_seqlen)
+            checkpointing=self.model.checkpointing, max_seqlen=max_seqlen,
+            lora_dropout=self._lora_dropout if dropout_rng is not None
+            else 0.0, dropout_rng=dropout_rng)
         if self.head == 'aggregation':
             return apply_learned_aggregation(
                 params['head'], rep, seg_ids, num_segments,
@@ -211,9 +225,9 @@ class RegressionTrainer:
         return apply_cls_head(params['head'], rep, seg_ids, num_segments)
 
     def _loss_fn(self, params, tokens, seg_ids, pos_ids, labels, weight,
-                 num_segments, max_seqlen):
+                 num_segments, max_seqlen, dropout_rng=None):
         pred = self._predict(params, tokens, seg_ids, pos_ids,
-                             num_segments, max_seqlen)
+                             num_segments, max_seqlen, dropout_rng)
         return mse_loss(pred, labels, weight)
 
     @partial(jax.jit, static_argnames=('self', 'num_segments',
@@ -221,9 +235,11 @@ class RegressionTrainer:
              donate_argnames=('state',))
     def _step(self, state, tokens, seg_ids, pos_ids, labels, weight,
               num_segments: int, max_seqlen: int):
+        dropout_rng = jax.random.fold_in(self._dropout_key, state.step) \
+            if self._lora_dropout > 0.0 else None
         loss, grads = jax.value_and_grad(self._loss_fn)(
             state.params, tokens, seg_ids, pos_ids, labels, weight,
-            num_segments, max_seqlen)
+            num_segments, max_seqlen, dropout_rng)
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -278,9 +294,9 @@ class ClassificationTrainer(RegressionTrainer):
     reports BCE + AUROC + AUPRC."""
 
     def _loss_fn(self, params, tokens, seg_ids, pos_ids, labels, weight,
-                 num_segments, max_seqlen):
+                 num_segments, max_seqlen, dropout_rng=None):
         pred = self._predict(params, tokens, seg_ids, pos_ids,
-                             num_segments, max_seqlen)
+                             num_segments, max_seqlen, dropout_rng)
         return bce_with_logits(pred, labels, weight)
 
     def validation_metrics(self, dataset) -> dict:

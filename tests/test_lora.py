@@ -123,3 +123,65 @@ def test_lora_over_quantized_base():
     tok, _, cu, ml = tokenize_unpad(SEQS, alphabet=m.alphabet)
     out = np.asarray(m.forward(tok, pad_args=(cu, ml)))
     assert np.isfinite(out).all()
+
+
+def test_lora_dropout_training_only():
+    """Dropout perturbs adapter contributions only when a dropout rng
+    is supplied (training steps); eval forward is deterministic
+    (reference: esme/lora.py:84-88 drops the adapter output)."""
+    from esme_tpu.models.esm import forward_flat, packed_meta
+
+    m = tiny()
+    m.add_lora(rank=8, alpha=16, dropout_p=0.5)
+    assert m.lora_kwargs['dropout_p'] == 0.5
+    lora = m.params['layers']['attn']['q']['lora']['default']
+    lora['b'] = lora['b'] + 0.1     # make contributions nonzero
+
+    tok, _, cu, ml = tokenize_unpad(SEQS, alphabet=m.alphabet)
+    tok = jnp.asarray(tok, jnp.int32)
+    seg_ids, pos_ids = packed_meta(jnp.asarray(cu, jnp.int32), tok.shape[0])
+
+    def run(rate, rng):
+        return np.asarray(forward_flat(
+            m.params, m.config, tok, seg_ids, pos_ids,
+            max_seqlen=int(ml), lora_dropout=rate, dropout_rng=rng))
+
+    eval_out = run(0.0, None)
+    k = jax.random.key(7)
+    train_out = run(0.5, k)
+    assert np.abs(train_out - eval_out).max() > 1e-4
+    # same rng => deterministic
+    np.testing.assert_array_equal(train_out, run(0.5, k))
+    # different rng => different mask
+    assert np.abs(run(0.5, jax.random.key(8)) - train_out).max() > 1e-5
+    # rate 0 with an rng is still identity
+    np.testing.assert_allclose(run(0.0, k), eval_out, atol=1e-6)
+
+
+def test_lora_dropout_through_trainer():
+    """MaskedPLM picks up dropout_p from lora_kwargs; steps run and the
+    loss stays finite; validation (eval mode) is deterministic."""
+    from esme_tpu.train import MaskedPLM
+    from esme_tpu.data import MaskedFastaTokenDataset
+    import tempfile, os
+    from esme_tpu.fasta import write_fai
+
+    m = tiny()
+    m.add_lora(rank=4, alpha=8, dropout_p=0.25)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, 't.fa')
+        with open(path, 'w') as f:
+            for i, s in enumerate([SEQS[0] * 6, SEQS[1] * 8, SEQS[0] * 3]):
+                f.write(f'>s{i}\n{s}\n')
+        write_fai(path)
+        ds = MaskedFastaTokenDataset(path, token_per_batch=256,
+                                     shuffle=False, random_state=0)
+        tr = MaskedPLM(m, learning_rate=1e-3)
+        assert tr._lora_dropout == 0.25
+        batch = ds[0]            # ds[i] re-masks every call
+        l1 = tr.training_step(batch)
+        l2 = tr.training_step(batch)
+        assert np.isfinite(l1) and np.isfinite(l2)
+        v1 = tr.validation_step(batch)
+        v2 = tr.validation_step(batch)
+        assert v1 == v2
