@@ -21,5 +21,6 @@ from .data import (FastaDataset, FastaTokenDataset, MaskedFastaDataset,
 from .models.config import (ESMConfig, config_for, esm1b_config,
                             esm1v_config, esm2_config, esmc_config)
 from .models.esm import ESM, ESM1b, ESM1v, ESM2, ESMC
+from .logger import MetricLogger, read_log
 
 __version__ = '0.1.0'

@@ -145,8 +145,13 @@ class MaskedPLM:
         return float(loss)
 
     def fit(self, dataset, epochs: int = 1, val_dataset=None,
-            log_every: int = 0, set_epoch=None):
-        """Simple epoch loop over an iterable of PackedBatch."""
+            log_every: int = 0, set_epoch=None, logger=None):
+        """Simple epoch loop over an iterable of PackedBatch.
+
+        ``logger``: a :class:`esme_tpu.logger.MetricLogger` receiving
+        ``train_loss`` per step (throttled by ``log_every``) and
+        ``val_loss`` per epoch (the Lightning ``self.log`` equivalent,
+        reference: esme/trainer.py:34,41)."""
         history = []
         for epoch in range(epochs):
             if set_epoch is not None:
@@ -155,11 +160,20 @@ class MaskedPLM:
                 loss = self.training_step(batch)
                 history.append(loss)
                 if log_every and i % log_every == 0:
-                    print(f'epoch {epoch} step {i}: loss {loss:.4f}')
+                    if logger is not None:
+                        logger.log({'epoch': epoch, 'train_loss': loss},
+                                   step=int(self.state.step))
+                    else:
+                        print(f'epoch {epoch} step {i}: loss {loss:.4f}')
             if val_dataset is not None:
-                vlosses = [self.validation_step(b) for b in val_dataset]
-                print(f'epoch {epoch}: val_loss '
-                      f'{float(np.mean(vlosses)):.4f}')
+                vloss = float(np.mean(
+                    [self.validation_step(b) for b in val_dataset]))
+                if logger is not None:
+                    logger.log({'epoch': epoch, 'val_loss': vloss},
+                               step=int(self.state.step))
+                    logger.track_best({'val_loss': vloss})
+                else:
+                    print(f'epoch {epoch}: val_loss {vloss:.4f}')
         return history
 
 
@@ -271,6 +285,31 @@ class RegressionTrainer:
                              int(batch.max_len))
         n_real = int(np.asarray(weight).sum())
         return np.asarray(pred)[:n_real]
+
+    def fit(self, dataset, epochs: int = 1, val_dataset=None,
+            set_epoch=None, logger=None):
+        """Epoch loop with per-epoch validation metrics; ``dataset`` may
+        be a callable ``epoch -> iterable`` (per-epoch reshuffle /
+        re-balancing) or a plain iterable."""
+        history = []
+        for epoch in range(epochs):
+            if set_epoch is not None:
+                set_epoch(epoch)
+            ds = dataset(epoch) if callable(dataset) else dataset
+            losses = [self.training_step(b) for b in ds]
+            rec = {'epoch': epoch,
+                   'train_loss': float(np.mean(losses)) if losses
+                   else float('nan')}
+            if val_dataset is not None:
+                rec.update(self.validation_metrics(val_dataset))
+            history.append(rec)
+            if logger is not None:
+                logger.log(rec, step=int(self.state.step))
+                logger.track_best(rec)
+            else:
+                print(' '.join(f'{k}={v:.5g}' if isinstance(v, float)
+                               else f'{k}={v}' for k, v in rec.items()))
+        return history
 
     def validation_metrics(self, dataset) -> dict:
         """val MSE + Spearman (reference: esme/trainer.py:59-60,95-98)."""
