@@ -15,9 +15,9 @@ from .alphabet import (Alphabet, Alphabet3, mask_tokens, pad_tokens,
                        tokenize, tokenize_unpad, token_to_str)
 from .fasta import Fasta, read_fai, write_fai
 from .data import (FastaDataset, FastaTokenDataset, MaskedFastaDataset,
-                   MaskedFastaTokenDataset, MaskedFastaTokenDataModule,
-                   LabeledDataset, PackedBatch, Prefetcher,
-                   TokenSizeBatchSampler, balance_binary)
+                   MaskedFastaDataModule, MaskedFastaTokenDataset,
+                   MaskedFastaTokenDataModule, LabeledDataset, PackedBatch,
+                   Prefetcher, TokenSizeBatchSampler, balance_binary)
 from .models.config import (ESMConfig, config_for, esm1b_config,
                             esm1v_config, esm2_config, esmc_config)
 from .models.esm import ESM, ESM1b, ESM1v, ESM2, ESMC

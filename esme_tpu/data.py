@@ -241,6 +241,67 @@ class MaskedFastaDataset(FastaDataset):
                                     alphabet=self.alphabet, rng=self.rng)
         return token, mtokens, mask
 
+    def batches(self, batch_size, shuffle=False, random_state=None):
+        """Padded ``(B, L)`` masked batches — the reference's padded
+        DataLoader collate (reference: esme/data.py:190-205)."""
+        order = np.arange(len(self))
+        if shuffle:
+            order = np.random.default_rng(random_state).permutation(order)
+        pad = self.alphabet.padding_idx
+        for lo in range(0, len(order), batch_size):
+            items = [self[int(i)] for i in order[lo:lo + batch_size]]
+            L = max(t.shape[1] for t, _, _ in items)
+
+            def pad_to(a, fill):
+                return np.pad(a, ((0, 0), (0, L - a.shape[1])),
+                              constant_values=fill)
+            tokens = np.concatenate([pad_to(t, pad) for t, _, _ in items])
+            mtokens = np.concatenate([pad_to(m, pad) for _, m, _ in items])
+            mask = np.concatenate([pad_to(k, False) for _, _, k in items])
+            yield tokens, mtokens, mask
+
+
+class MaskedFastaDataModule:
+    """Padded-batch train/val/test masked-LM loaders — the reference's
+    non-packed DataModule (reference: esme/data.py:247-300). Prefer
+    :class:`MaskedFastaTokenDataModule` (packed) on TPU; this exists
+    for baseline comparisons and API parity."""
+
+    def __init__(self, train_fasta, val_fasta=None, test_fasta=None,
+                 train_fai=None, val_fai=None, test_fai=None,
+                 batch_size: int = 8, mask_freq=.15, alter_freq=.1,
+                 max_len=None, alphabet=Alphabet3):
+        self.train_fasta, self.train_fai = train_fasta, train_fai
+        self.val_fasta, self.val_fai = val_fasta, val_fai
+        self.test_fasta, self.test_fai = test_fasta, test_fai
+        self.batch_size = batch_size
+        self.mask_freq = mask_freq
+        self.alter_freq = alter_freq
+        self.max_len = max_len
+        self.alphabet = alphabet
+        self.current_epoch = 0
+
+    def _loader(self, fasta, fai, shuffle):
+        ds = MaskedFastaDataset(
+            fasta, fai=fai, max_len=self.max_len,
+            mask_freq=self.mask_freq, alter_freq=self.alter_freq,
+            alphabet=self.alphabet,
+            rng=np.random.default_rng(self.current_epoch))
+        return ds.batches(self.batch_size, shuffle=shuffle,
+                          random_state=self.current_epoch)
+
+    def train_dataloader(self):
+        return self._loader(self.train_fasta, self.train_fai, shuffle=True)
+
+    def val_dataloader(self):
+        return self._loader(self.val_fasta, self.val_fai, shuffle=False)
+
+    def test_dataloader(self):
+        return self._loader(self.test_fasta, self.test_fai, shuffle=False)
+
+    def set_epoch(self, epoch):
+        self.current_epoch = epoch
+
 
 class MaskedFastaTokenDataset(FastaTokenDataset):
     """Packed varlen batches with BERT masking for masked-LM training
@@ -386,16 +447,53 @@ def balance_binary(seqs, labels, balance: Optional[str] = 'upsample',
 
 
 class Prefetcher:
-    """Background prefetch of host batches (the DataLoader-worker
+    """Background prefetch of host batches (the multi-worker DataLoader
     equivalent, reference: esme/data.py:109-112). Tokenisation/masking
-    runs in a thread while the device computes the previous step."""
+    runs in ``num_workers`` threads while the device computes the
+    previous step; batches are yielded strictly in dataset order.
 
-    def __init__(self, dataset, depth: int = 2, device_put=None):
+    With ``num_workers > 1`` the dataset must be indexable
+    (``__getitem__``/``__len__``) so items can be built concurrently —
+    numpy tokenization and the native mmap FASTA reader both release
+    the GIL, so threads give real parallelism without process-fork
+    cost. ``depth`` bounds in-flight batches (host-memory cap)."""
+
+    def __init__(self, dataset, depth: int = 2, device_put=None,
+                 num_workers: int = 1):
         self.dataset = dataset
-        self.depth = depth
+        self.depth = max(int(depth), 1)
         self.device_put = device_put
+        self.num_workers = max(int(num_workers), 1)
+        if self.num_workers > 1 and not hasattr(dataset, '__getitem__'):
+            raise TypeError(
+                'num_workers > 1 requires an indexable dataset')
+
+    def _iter_pool(self):
+        from concurrent.futures import ThreadPoolExecutor
+        n = len(self.dataset)
+        window = self.depth + self.num_workers
+
+        def build(i):
+            item = self.dataset[i]
+            if self.device_put is not None:
+                item = self.device_put(item)
+            return item
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = {i: pool.submit(build, i)
+                       for i in range(min(window, n))}
+            for i in range(n):
+                item = futures.pop(i).result()
+                nxt = i + window
+                if nxt < n:
+                    futures[nxt] = pool.submit(build, nxt)
+                yield item
 
     def __iter__(self):
+        if self.num_workers > 1:
+            yield from self._iter_pool()
+            return
+
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         stop = object()
 

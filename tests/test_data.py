@@ -87,3 +87,51 @@ def test_prefetcher(fasta_path):
     assert len(direct) == len(fetched)
     for a, b in zip(direct, fetched):
         np.testing.assert_array_equal(a, b)
+
+
+def test_prefetcher_multiworker(fasta_path):
+    from esme_tpu import FastaTokenDataset
+    ds = FastaTokenDataset(fasta_path, token_per_batch=1024, shuffle=False)
+    direct = [np.asarray(ds[i].tokens) for i in range(len(ds))]
+    fetched = [np.asarray(b.tokens)
+               for b in Prefetcher(ds, depth=2, num_workers=4)]
+    assert len(fetched) == len(direct)
+    for a, b in zip(direct, fetched):     # strict order preservation
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prefetcher_multiworker_requires_indexable():
+    import pytest as _pytest
+    gen = (i for i in range(3))
+    with _pytest.raises(TypeError):
+        Prefetcher(gen, num_workers=2)
+
+
+def test_masked_fasta_padded_batches(fasta_path):
+    from esme_tpu import MaskedFastaDataset
+    ds = MaskedFastaDataset(fasta_path, rng=np.random.default_rng(0))
+    n_total = 0
+    for tokens, mtokens, mask in ds.batches(4):
+        assert tokens.shape == mtokens.shape == mask.shape
+        assert tokens.ndim == 2 and tokens.shape[0] <= 4
+        # masked positions were altered or kept per 80/10/10; unmasked
+        # positions are identical
+        np.testing.assert_array_equal(tokens[~mask], mtokens[~mask])
+        assert mask.any(axis=1).all()     # >=1 mask per row
+        n_total += tokens.shape[0]
+    assert n_total == len(ds)
+
+
+def test_masked_fasta_datamodule(fasta_path):
+    from esme_tpu import MaskedFastaDataModule
+    dm = MaskedFastaDataModule(fasta_path, val_fasta=fasta_path,
+                               batch_size=4)
+    train = list(dm.train_dataloader())
+    val = list(dm.val_dataloader())
+    assert len(train) == len(val) == 4     # 16 seqs / bs 4
+    dm.set_epoch(1)
+    train2 = list(dm.train_dataloader())
+    # reshuffled between epochs: first batch differs in shape or content
+    same = all(a[0].shape == b[0].shape and (a[0] == b[0]).all()
+               for a, b in zip(train, train2))
+    assert not same
