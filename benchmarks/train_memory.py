@@ -30,8 +30,10 @@ def main():
     from esme_tpu.data import PackedBatch
     from esme_tpu.models.config import config_for
     from esme_tpu.models.esm import _class_for
-    from esme_tpu.profiling import peak_memory_gb
+    from esme_tpu.models.esm import packed_meta
+    from esme_tpu.profiling import memory_analysis_gb, peak_memory_gb
     from esme_tpu.train import MaskedPLM
+    import jax.numpy as jnp
 
     cfg = config_for(args.model)
     checkpointing = args.mode == 'checkpointing'
@@ -44,7 +46,7 @@ def main():
     trainer = MaskedPLM(model, learning_rate=1e-4)
 
     rng = np.random.default_rng(0)
-    print('length,batch,loss,peak_gb')
+    print('length,batch,loss,temp_gb,total_gb')
     for length in range(args.min_bucket, args.max_bucket + 1, args.step):
         seqs = [''.join(rng.choice(list('LAGVSERTIDPKQNFYMHWC'), length))
                 for _ in range(args.batch)]
@@ -56,12 +58,24 @@ def main():
         batch = PackedBatch(tokens=tokens, cu_lens=cu, max_len=ml,
                             masked_tokens=mtok, mask=mask)
         try:
+            # XLA buffer assignment of the full train step (args incl.
+            # params+optimizer state, temp = activations/grads scratch)
+            cu_j = jnp.asarray(cu, jnp.int32)
+            seg_ids, pos_ids = packed_meta(cu_j, batch.tokens.shape[0])
+            # .lower on the jitted method doesn't bind self - pass it
+            ma = memory_analysis_gb(
+                type(trainer)._step, trainer, trainer.state,
+                jnp.asarray(batch.masked_tokens, jnp.int32), seg_ids,
+                pos_ids, jnp.asarray(batch.tokens, jnp.int32),
+                jnp.asarray(batch.mask), max_seqlen=int(ml))
             loss = trainer.training_step(batch)
         except Exception as e:
-            print(f'{length},{args.batch},-1,-1  # {type(e).__name__}')
+            print(f'{length},{args.batch},-1,-1,-1  # {type(e).__name__}')
             continue
         print(f'{length},{args.batch},{loss:.4f},'
-              f'{peak_memory_gb() or -1:.2f}', flush=True)
+              f'{ma.get("temp_gb", -1):.3f},'
+              f'{max(ma.get("total_gb", -1), peak_memory_gb() or -1):.3f}',
+              flush=True)
 
 
 if __name__ == '__main__':

@@ -59,6 +59,31 @@ def peak_memory_gb(device=None) -> Optional[float]:
     return peak / 2 ** 30 if peak is not None else None
 
 
+def memory_analysis_gb(jitted_fn, *args, **kwargs) -> dict:
+    """Compile-time memory footprint of a jitted function via XLA's
+    memory analysis — the TPU-native ``max_memory_allocated``: exact
+    buffer assignment for arguments, outputs, and temporaries
+    (activations/scratch), available even on backends that expose no
+    runtime memory stats (the tunneled TPU returns none). Donated
+    buffers are counted once (alias size subtracted)."""
+    try:
+        ma = jitted_fn.lower(*args, **kwargs).compile().memory_analysis()
+        if ma is None:
+            return {}
+        g = float(2 ** 30)
+        total = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                 + ma.temp_size_in_bytes + ma.generated_code_size_in_bytes
+                 - ma.alias_size_in_bytes)
+        return {
+            'args_gb': ma.argument_size_in_bytes / g,
+            'output_gb': ma.output_size_in_bytes / g,
+            'temp_gb': ma.temp_size_in_bytes / g,
+            'total_gb': total / g,
+        }
+    except Exception:
+        return {}
+
+
 @contextlib.contextmanager
 def trace(logdir: str = '/tmp/esme_tpu_trace'):
     """``with trace('/tmp/t'):`` captures a profiler trace viewable in
