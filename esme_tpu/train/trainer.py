@@ -57,9 +57,11 @@ class MaskedPLM:
     def __init__(self, model, learning_rate: float = 1e-4,
                  grad_accum: int = 1, lora_only=None, train_lmhead=False,
                  weight_decay: float = 0.0, optimizer=None,
-                 attn_impl: str = 'auto', trainable_mask=None):
+                 attn_impl: str = 'auto', trainable_mask=None,
+                 offload_optimizer: bool = False):
         self.model = model
         self.attn_impl = attn_impl
+        self._offload = bool(offload_optimizer)
 
         if optimizer is None:
             optimizer = optax.adamw(learning_rate,
@@ -82,10 +84,74 @@ class MaskedPLM:
             (model.lora_kwargs or {}).get('dropout_p', 0.0) or 0.0)
         self._dropout_key = jax.random.key(0x10ad)
         train, _, _, _ = split_by_mask(model.params, self._mask)
-        self.state = TrainState(
-            params=model.params,
-            opt_state=optimizer.init(train),
-            step=jnp.zeros((), jnp.int32))
+        if self._offload:
+            # DeepSpeed CPU-optimizer-offload equivalent (reference:
+            # esme/deepspeed.py:18-21): fp32 master copies of the
+            # trainable leaves + the full optimizer state live on the
+            # host CPU device and the update math runs there; the
+            # accelerator holds working params and computes gradients
+            # only. HBM cost drops by the optimizer state (~12 bytes/
+            # trainable param for fp32 adam+master) at the price of
+            # grads-down/params-up host traffic per step.
+            self._host = jax.local_devices(backend='cpu')[0]
+            self._master = jax.device_put(
+                tuple(jnp.asarray(t, jnp.float32) for t in train),
+                self._host)
+            with jax.default_device(self._host):
+                opt_state = optimizer.init(self._master)
+            # computation follows the host-committed inputs
+            self._host_update = jax.jit(self._offload_update,
+                                        static_argnums=(3,))
+            self.state = TrainState(params=model.params,
+                                    opt_state=opt_state,
+                                    step=jnp.zeros((), jnp.int32))
+        else:
+            self.state = TrainState(
+                params=model.params,
+                opt_state=optimizer.init(train),
+                step=jnp.zeros((), jnp.int32))
+
+    def _offload_update(self, grads, opt_state, master, dtypes):
+        """Runs on the host CPU device (inputs are committed there)."""
+        grads = tuple(g.astype(jnp.float32) for g in grads)
+        updates, opt_state = self.optimizer.update(grads, opt_state, master)
+        master = optax.apply_updates(master, updates)
+        working = tuple(m.astype(dt) for m, dt in zip(master, dtypes))
+        return master, opt_state, working
+
+    @partial(jax.jit, static_argnames=('self', 'max_seqlen'))
+    def _grad_step(self, params, masked_tokens, seg_ids, pos_ids,
+                   targets, mask, max_seqlen: int, step):
+        train, frozen, treedef, flags = split_by_mask(params, self._mask)
+        dropout_rng = jax.random.fold_in(self._dropout_key, step) \
+            if self._lora_dropout > 0.0 else None
+
+        def loss_fn(train):
+            p = merge_leaves(train, frozen, treedef, flags)
+            return self._loss_fn(p, masked_tokens, seg_ids, pos_ids,
+                                 targets, mask, max_seqlen, dropout_rng)
+
+        return jax.value_and_grad(loss_fn)(train)
+
+    def _offload_step(self, masked_tokens, seg_ids, pos_ids, targets,
+                      mask, max_seqlen: int):
+        loss, grads = self._grad_step(
+            self.state.params, masked_tokens, seg_ids, pos_ids, targets,
+            mask, max_seqlen, self.state.step)
+        train, frozen, treedef, flags = split_by_mask(self.state.params,
+                                                      self._mask)
+        dtypes = tuple(t.dtype for t in train)
+        grads_h = jax.device_put(grads, self._host)
+        with jax.default_device(self._host):
+            self._master, opt_state, working = self._host_update(
+                grads_h, self.state.opt_state, self._master, dtypes)
+        accel = jax.tree_util.tree_leaves(frozen)[0].devices() \
+            if frozen else None
+        working = jax.device_put(
+            working, jax.devices()[0] if accel is None else list(accel)[0])
+        params = merge_leaves(working, frozen, treedef, flags)
+        self.state = TrainState(params, opt_state, self.state.step + 1)
+        return loss
 
     def _loss_fn(self, params, masked_tokens, seg_ids, pos_ids, targets,
                  mask, max_seqlen, dropout_rng=None):
@@ -123,12 +189,13 @@ class MaskedPLM:
         (reference: esme/trainer.py:31-35)."""
         cu_lens = jnp.asarray(batch.cu_lens, jnp.int32)
         seg_ids, pos_ids = packed_meta(cu_lens, batch.tokens.shape[0])
-        self.state, loss = self._step(
-            self.state,
-            jnp.asarray(batch.masked_tokens, jnp.int32), seg_ids, pos_ids,
-            jnp.asarray(batch.tokens, jnp.int32),
-            jnp.asarray(batch.mask),
-            int(batch.max_len))
+        args = (jnp.asarray(batch.masked_tokens, jnp.int32), seg_ids,
+                pos_ids, jnp.asarray(batch.tokens, jnp.int32),
+                jnp.asarray(batch.mask), int(batch.max_len))
+        if self._offload:
+            loss = self._offload_step(*args)
+        else:
+            self.state, loss = self._step(self.state, *args)
         self.model.params = self.state.params
         return float(loss)
 

@@ -153,3 +153,45 @@ def test_metrics_against_known_values():
     # ties are rank-averaged like scipy
     assert abs(spearman([1, 1, 2], [1, 2, 3])
                - 0.8660254037844387) < 1e-9
+
+
+def test_offload_optimizer_parity(fasta_path):
+    """Host-offloaded optimizer (DeepSpeed CPU-offload equivalent,
+    reference: esme/deepspeed.py:18-21) matches the on-device path
+    exactly for an fp32 model."""
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    batch = ds[0]
+    t_dev = MaskedPLM(tiny(), learning_rate=1e-3)
+    t_off = MaskedPLM(tiny(), learning_rate=1e-3, offload_optimizer=True)
+    # optimizer state lives on the host CPU device
+    leaf = jax.tree_util.tree_leaves(t_off.state.opt_state)[0]
+    assert all(d.platform == 'cpu' for d in leaf.devices())
+    for _ in range(3):
+        l_dev = t_dev.training_step(batch)
+        l_off = t_off.training_step(batch)
+        np.testing.assert_allclose(l_dev, l_off, rtol=1e-5)
+    a = jax.tree_util.tree_leaves(t_dev.state.params)
+    b = jax.tree_util.tree_leaves(t_off.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_offload_optimizer_lora(fasta_path):
+    """Offload composes with LoRA-only training: trunk frozen, adapter
+    master copies on host."""
+    ds = MaskedFastaTokenDataset(fasta_path, token_per_batch=1024,
+                                 shuffle=False, random_state=0)
+    model = tiny()
+    model.add_lora(rank=4, alpha=8)
+    before = np.asarray(model.params['embed_tokens']).copy()
+    tr = MaskedPLM(model, learning_rate=1e-2, offload_optimizer=True)
+    for _ in range(3):
+        loss = tr.training_step(ds[0])
+    assert np.isfinite(loss)
+    np.testing.assert_array_equal(
+        np.asarray(tr.state.params['embed_tokens']), before)
+    b = np.asarray(
+        tr.state.params['layers']['attn']['q']['lora']['default']['b'])
+    assert np.abs(b).max() > 0
