@@ -270,21 +270,17 @@ class RegressionTrainer:
         params = {'plm': model.params, 'head': head_params}
 
         plm_mask = model.trainable_filter(lora_only=lora_only)
-        plm_trainable = jax.tree_util.tree_all(
-            jax.tree.map(bool, plm_mask))
-
-        label_tree = {'plm': jax.tree.map(lambda _: 'plm', model.params),
-                      'head': jax.tree.map(lambda _: 'head', head_params)}
-        if plm_trainable:
-            plm_tx = optax.adam(lr)
-        else:
-            plm_labels = jax.tree.map(
-                lambda m: 'train' if m else 'freeze', plm_mask)
-            plm_tx = optax.multi_transform(
-                {'train': optax.adam(lr), 'freeze': optax.set_to_zero()},
-                plm_labels)
+        # one flat multi_transform over the joint {'plm','head'} tree:
+        # trainable trunk leaves get lr, frozen leaves get zero updates,
+        # head leaves get head_lr (reference two-LR groups,
+        # esme/trainer.py:92-103)
+        label_tree = {
+            'plm': jax.tree.map(
+                lambda m: 'train' if m else 'freeze', plm_mask),
+            'head': jax.tree.map(lambda _: 'head', head_params)}
         tx = optax.multi_transform(
-            {'plm': plm_tx, 'head': optax.adam(head_lr)},
+            {'train': optax.adam(lr), 'freeze': optax.set_to_zero(),
+             'head': optax.adam(head_lr)},
             label_tree)
         self.optimizer = tx
         self.state = TrainState(params=params,

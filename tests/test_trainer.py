@@ -195,3 +195,28 @@ def test_offload_optimizer_lora(fasta_path):
     b = np.asarray(
         tr.state.params['layers']['attn']['q']['lora']['default']['b'])
     assert np.abs(b).max() > 0
+
+
+def test_regression_trainer_with_lora():
+    """Regression trainer over a LoRA-equipped trunk: frozen trunk
+    leaves get zero updates, adapters and head move (this combination
+    hit a nested-multi_transform label mismatch before)."""
+    model = tiny()
+    model.add_lora(rank=4, alpha=8)
+    before_kernel = np.asarray(
+        model.params['layers']['attn']['q']['kernel']).copy()
+    head = init_learned_aggregation(0, embed_dim=64, num_cls=1,
+                                    attention_heads=4, dtype=jnp.float32)
+    seqs = ['M' * n for n in (8, 16, 24, 32)]
+    ds = LabeledDataset(seqs, [0.2, 0.4, 0.6, 0.8], token_per_batch=256,
+                        shuffle=False)
+    trainer = RegressionTrainer(model, head, head_lr=5e-3, lr=1e-3)
+    for _ in range(3):
+        for b in ds:
+            loss = trainer.training_step(b)
+    assert np.isfinite(loss)
+    after = trainer.state.params['plm']
+    np.testing.assert_array_equal(
+        np.asarray(after['layers']['attn']['q']['kernel']), before_kernel)
+    b_ad = np.asarray(after['layers']['attn']['q']['lora']['default']['b'])
+    assert np.abs(b_ad).max() > 0
