@@ -222,6 +222,30 @@ class ShardedMaskedPLM:
         return float(self._val(self.state.params, masked, targets, mask,
                                cu_lens, max_len))
 
+    def fit(self, dataset, epochs: int = 1, val_dataset=None,
+            log_every: int = 0, set_epoch=None, logger=None):
+        """Epoch loop over an iterable of replica-batch lists — same
+        contract as :meth:`MaskedPLM.fit` including the JSONL
+        ``logger``."""
+        history = []
+        for epoch in range(epochs):
+            if set_epoch is not None:
+                set_epoch(epoch)
+            for i, batch in enumerate(dataset):
+                loss = self.training_step(batch)
+                history.append(loss)
+                if log_every and i % log_every == 0 and logger is not None:
+                    logger.log({'epoch': epoch, 'train_loss': loss},
+                               step=int(self.state.step))
+            if val_dataset is not None:
+                vloss = float(np.mean(
+                    [self.validation_step(b) for b in val_dataset]))
+                if logger is not None:
+                    logger.log({'epoch': epoch, 'val_loss': vloss},
+                               step=int(self.state.step))
+                    logger.track_best({'val_loss': vloss})
+        return history
+
     def unsharded_params(self) -> dict:
         """Gather the full params back to host (for save_pretrained)."""
         return jax.tree.map(
