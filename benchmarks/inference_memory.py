@@ -52,7 +52,19 @@ def main():
         if args.quantization != 'none':
             model.quantize(args.quantization)
 
-    fwd = jax.jit(lambda t: model.forward(t))
+    # params must be an ARGUMENT of the jitted fn: closing over them
+    # embeds gigabytes of weights as HLO constants and the compile
+    # never finishes on big models
+    def _fwd(params, t):
+        saved = model.params
+        model.params = params
+        try:
+            return model.forward(t)
+        finally:
+            model.params = saved
+
+    fwd = jax.jit(_fwd)
+    model_params = model.params
 
     rng = np.random.default_rng(0)
     print('length,batch,temp_gb,total_gb,peak_runtime_gb')
@@ -68,7 +80,7 @@ def main():
             # XLA's buffer assignment: exact activation (temp) + total
             # footprint, available even without runtime memory stats.
             # Compile once AOT and execute the same executable.
-            compiled = fwd.lower(t).compile()
+            compiled = fwd.lower(model_params, t).compile()
             ana = compiled.memory_analysis()
             g = float(2 ** 30)
             ma = {'temp_gb': ana.temp_size_in_bytes / g,
@@ -78,7 +90,7 @@ def main():
                                + ana.generated_code_size_in_bytes
                                - ana.alias_size_in_bytes) / g} \
                 if ana is not None else {}
-            out = compiled(t)
+            out = compiled(model_params, t)
             jax.block_until_ready(out)
             del out
         except Exception as e:      # OOM -> -1, stop like the reference
