@@ -59,7 +59,7 @@ def _embed_flat(params, cfg: ESMConfig, tokens, pos_ids):
 @partial(jax.jit, static_argnames=(
     'cfg', 'with_head', 'log_prob', 'lora_names', 'attn_impl',
     'checkpointing', 'collect_layers', 'max_seqlen', 'layer_gather',
-    'outer_gather', 'lora_dropout'))
+    'outer_gather', 'lora_dropout', 'kv_gather'))
 def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                  with_head: bool = True, log_prob: bool = False,
                  lora_names: Optional[Tuple[str, ...]] = None,
@@ -67,7 +67,8 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                  collect_layers: Optional[Tuple[int, ...]] = None,
                  max_seqlen: Optional[int] = None,
                  layer_gather=None, outer_gather=None,
-                 lora_dropout: float = 0.0, dropout_rng=None):
+                 lora_dropout: float = 0.0, dropout_rng=None,
+                 kv_gather=None):
     """Trunk (+ optional LM head) over flat tokens with explicit
     segment/position metadata. Returns ``(T, C)``.
 
@@ -87,6 +88,10 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
     from ..ops.flash import ALIGN
     T = tokens.shape[0]
     t_pad = (-T) % ALIGN
+    if kv_gather is not None:
+        t_pad = 0      # CP path: shard-local padding would corrupt the
+                       # gathered global k/v layout; rect attention
+                       # needs no alignment
     if t_pad and attn_impl != 'reference':
         pad_token = cfg.padding_idx if cfg.padding_idx is not None else 0
         tokens = jnp.pad(tokens, (0, t_pad), constant_values=pad_token)
@@ -107,7 +112,7 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                           collect_layers=collect_layers,
                           max_seqlen=max_seqlen, gather_fn=layer_gather,
                           rope=rope, lora_dropout=lora_dropout,
-                          dropout_rng=dropout_rng)
+                          dropout_rng=dropout_rng, kv_gather=kv_gather)
     x = apply_norm(x, params['emb_norm_after'])
 
     if t_pad and attn_impl != 'reference':

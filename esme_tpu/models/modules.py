@@ -42,7 +42,8 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
                     attn_impl: str = 'auto',
                     max_seqlen: Optional[int] = None,
                     rope: Optional[tuple] = None,
-                    lora_dropout: float = 0.0, dropout_rng=None):
+                    lora_dropout: float = 0.0, dropout_rng=None,
+                    kv_gather=None):
     """Multi-head self-attention over the packed layout
     (reference: esme/attention.py:91-139).
 
@@ -64,6 +65,26 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
 
     T = x.shape[0]
     H, Dh = cfg.attention_heads, cfg.head_dim
+
+    if kv_gather is not None:
+        # context parallelism: local queries over globally gathered
+        # keys/values (esme_tpu.parallel.context; no reference
+        # analogue — the reference has no sequence parallelism)
+        from ..ops.attention import attention_rect
+        q = q.reshape(T, H, Dh)
+        k = k.reshape(T, H, Dh)
+        v = v.reshape(T, H, Dh)
+        if cfg.rotary:
+            if rope is not None:
+                cos, sin = rope
+                q = apply_rotary(q, cos, sin)
+                k = apply_rotary(k, cos, sin)
+            else:
+                q, k = apply_rotary_qk(q, k, pos_ids)
+        k_full, v_full, seg_k = kv_gather(k, v, seg_ids)
+        o = attention_rect(q, k_full, v_full, seg_ids, seg_k)
+        return linear(o.reshape(T, H * Dh), params['out'], lora_names,
+                      lora_dropout, rngs[3])
 
     if attn_impl == 'auto':
         on_tpu = jax.default_backend() == 'tpu'
@@ -122,13 +143,15 @@ def transformer_layer(x, params, cfg, seg_ids, pos_ids,
                       lora_names=None, attn_impl: str = 'auto',
                       max_seqlen: Optional[int] = None,
                       rope: Optional[tuple] = None,
-                      lora_dropout: float = 0.0, dropout_rng=None):
+                      lora_dropout: float = 0.0, dropout_rng=None,
+                      kv_gather=None):
     """Pre-norm residual block with residue scaling
     (reference: esme/attention.py:241-255)."""
     inv_scale = 1.0 / cfg.residue_scaling
     x = x + attention_block(x, params['attn'], cfg, seg_ids, pos_ids,
                             lora_names, attn_impl, max_seqlen, rope,
-                            lora_dropout, dropout_rng) * inv_scale
+                            lora_dropout, dropout_rng,
+                            kv_gather) * inv_scale
     x = x + mlp_block(x, params['mlp'], cfg) * inv_scale
     return x
 
@@ -138,7 +161,8 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
                 collect_layers: Optional[Sequence[int]] = None,
                 max_seqlen: Optional[int] = None, gather_fn=None,
                 rope: Optional[tuple] = None,
-                lora_dropout: float = 0.0, dropout_rng=None):
+                lora_dropout: float = 0.0, dropout_rng=None,
+                kv_gather=None):
     """Run all layers via ``lax.scan`` over stacked per-layer params.
 
     ``gather_fn`` (FSDP hook) all-gathers one layer's param shards
@@ -164,7 +188,7 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
             else jax.random.fold_in(dropout_rng, idx)
         out = transformer_layer(x, layer_params, cfg, seg_ids, pos_ids,
                                 lora_names, attn_impl, max_seqlen, rope,
-                                lora_dropout, layer_rng)
+                                lora_dropout, layer_rng, kv_gather)
         if collect_layers:
             reps = tuple(jnp.where(idx == ci, out, r)
                          for ci, r in zip(collect_layers, reps))

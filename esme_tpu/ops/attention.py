@@ -53,6 +53,66 @@ def attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(q.dtype)
 
 
+def attention_rect(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   seg_q: jnp.ndarray, seg_k: jnp.ndarray,
+                   block_k: int = 1024,
+                   scale: float | None = None) -> jnp.ndarray:
+    """Rectangular segment-masked attention with online softmax.
+
+    The context-parallel building block: local queries ``q``
+    ``(Tq, H, D)`` attend over globally gathered keys/values
+    ``(Tk, H, D)`` with per-side segment ids. A ``lax.scan`` over
+    k-tiles keeps memory at ``O(Tq x block_k)`` per step (flash-style)
+    without a dedicated kernel; XLA fuses the mask/softmax updates into
+    the tile matmuls. No reference analogue — the reference has no
+    sequence parallelism (SURVEY.md §2.4).
+    """
+    Tq, H, D = q.shape
+    Tk = k.shape[0]
+    scale = scale if scale is not None else 1.0 / (D ** 0.5)
+
+    from .linear import mxu_precision
+    prec = mxu_precision(q, k)
+
+    pad = (-Tk) % block_k
+    if pad:
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+        # padded keys get a segment id no query carries
+        seg_k = jnp.concatenate(
+            [seg_k, jnp.full((pad,), jnp.max(seg_q) + jnp.max(seg_k) + 1,
+                             seg_k.dtype)])
+    n_blocks = (Tk + pad) // block_k
+
+    kb = k.reshape(n_blocks, block_k, H, D)
+    vb = v.reshape(n_blocks, block_k, H, D)
+    sb = seg_k.reshape(n_blocks, block_k)
+
+    def body(carry, tile):
+        m, l, acc = carry                  # (H,Tq) (H,Tq) (H,Tq,D)
+        kt, vt, st = tile
+        s = jnp.einsum('thd,shd->hts', q, kt,
+                       preferred_element_type=jnp.float32,
+                       precision=prec) * scale
+        mask = seg_q[:, None] == st[None, :]
+        s = jnp.where(mask[None], s, NEG_INF)
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[..., None])
+        l = l * alpha + p.sum(axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            'hts,shd->htd', p.astype(q.dtype), vt,
+            preferred_element_type=jnp.float32, precision=prec)
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((H, Tq), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((H, Tq), jnp.float32)
+    acc0 = jnp.zeros((H, Tq, D), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kb, vb, sb))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return jnp.swapaxes(out, 0, 1).astype(q.dtype)
+
+
 def segment_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       seg_ids: jnp.ndarray, *, impl: str = 'auto',
                       block_q: int | None = None, block_k: int | None = None,
