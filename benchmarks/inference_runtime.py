@@ -31,6 +31,8 @@ def main():
     ap.add_argument('--reps', type=int, default=10)
     args = ap.parse_args()
 
+    import time
+
     import jax
     import jax.numpy as jnp
     import os
@@ -40,7 +42,6 @@ def main():
     from esme_tpu.alphabet import Alphabet
     from esme_tpu.models.config import config_for
     from esme_tpu.models.esm import ESM, _class_for
-    from esme_tpu.profiling import benchmark, peak_memory_gb
 
     if os.path.isfile(args.model):
         model = ESM.from_pretrained(
@@ -53,6 +54,20 @@ def main():
         if args.quantization != 'none':
             model.quantize(args.quantization)
 
+    # params must be an ARGUMENT of the jitted fn (constants would blow
+    # up compile); one AOT-compiled executable per bucket gives both
+    # the timed object and XLA's exact buffer-assignment memory.
+    def _fwd(params, t):
+        saved = model.params
+        model.params = params
+        try:
+            return model.forward(t)
+        finally:
+            model.params = saved
+
+    fwd = jax.jit(_fwd)
+    model_params = model.params
+
     rng = np.random.default_rng(0)
     print('length,batch,sec_per_fwd,tokens_per_sec,peak_gb')
     for length in range(args.min_bucket, args.max_bucket + 1, args.step):
@@ -64,13 +79,28 @@ def main():
         t = jnp.asarray(tokens)
 
         try:
-            dt = benchmark(lambda t: model.forward(t), t, reps=args.reps)
+            compiled = fwd.lower(model_params, t).compile()
+            ana = compiled.memory_analysis()
+            peak_gb = -1.0
+            if ana is not None:
+                peak_gb = (ana.argument_size_in_bytes
+                           + ana.output_size_in_bytes
+                           + ana.temp_size_in_bytes
+                           + ana.generated_code_size_in_bytes
+                           - ana.alias_size_in_bytes) / 2 ** 30
+            jax.block_until_ready(compiled(model_params, t))  # warm
+            t0 = time.time()
+            for _ in range(args.reps):
+                # block EVERY rep: the tunneled runtime does not await
+                # prior executes when only the last output is blocked on
+                jax.block_until_ready(compiled(model_params, t))
+            dt = (time.time() - t0) / args.reps
         except Exception as e:     # OOM -> -1, like the reference
             print(f'{length},{args.batch},-1,-1,-1  # {type(e).__name__}')
             continue
         total = args.batch * (length + 2)
         print(f'{length},{args.batch},{dt:.4f},{total / dt:.0f},'
-              f'{peak_memory_gb() or -1:.2f}', flush=True)
+              f'{peak_gb:.3f}', flush=True)
 
 
 if __name__ == '__main__':

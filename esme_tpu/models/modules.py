@@ -18,9 +18,48 @@ import jax.numpy as jnp
 
 from ..ops.attention import segment_attention
 from ..ops.headsplit import _BLOCK_T, merge_heads, split_heads_rotary
-from ..ops.linear import linear
+from ..ops.linear import linear, mxu_precision
 from ..ops.norm import apply_norm
 from ..ops.rotary import apply_rotary, apply_rotary_qk, rotary_cos_sin
+
+
+_SQRT_2_OVER_PI = 0.7978845608028654
+_TANH_COEF = 0.044715
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+@jax.custom_vjp
+def _gelu_recompute(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU whose backward saves ONLY the input and recomputes the
+    derivative. Plain autodiff through the tanh/erf chain saves ~5
+    activation-sized intermediates; inside the layer scan those stack
+    per layer and dominated un-checkpointed training memory (6 stacked
+    ``(L, T, 4D)`` bf16 buffers = ~19GB at a 10k-token ESM2-650M
+    batch). Recomputing costs one extra tanh/erf on the VPU in bwd."""
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _gelu_fwd(x):
+    return _gelu_recompute(x), x
+
+
+def _gelu_bwd(x, g):
+    if x.dtype == jnp.bfloat16:
+        x3 = x * x * x
+        u = _SQRT_2_OVER_PI * (x + _TANH_COEF * x3)
+        t = jnp.tanh(u)
+        du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _TANH_COEF * x * x)
+        d = 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+    else:
+        cdf = 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
+        pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+        d = cdf + x * pdf
+    return ((g * d).astype(x.dtype),)
+
+
+_gelu_recompute.defvjp(_gelu_fwd, _gelu_bwd)
 
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -32,9 +71,49 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     erf is < 0.003 absolute — below one bf16 ulp of gelu(x) for the
     range where they differ — while erf's long polynomial costs ~11% of
     the whole ESM2-650M forward on the VPU."""
+    return _gelu_recompute(x)
+
+
+def _gelu_deriv(x):
     if x.dtype == jnp.bfloat16:
-        return jax.nn.gelu(x, approximate=True)
-    return jax.nn.gelu(x, approximate=False)
+        u = _SQRT_2_OVER_PI * (x + _TANH_COEF * x * x * x)
+        t = jnp.tanh(u)
+        du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _TANH_COEF * x * x)
+        return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
+    cdf = 0.5 * (1.0 + jax.lax.erf(x / jnp.sqrt(2.0).astype(x.dtype)))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+    return cdf + x * pdf
+
+
+@jax.custom_vjp
+def gelu_linear(x, kernel, bias):
+    """``(gelu(x)) @ kernel + bias`` saving only ``x`` for backward —
+    the GELU output (another ``(T, 4D)`` tensor per layer under the
+    scan) is recomputed from ``x`` with one tanh. The same trade a
+    fused matmul-with-GELU-epilogue kernel makes."""
+    y = jnp.dot(gelu(x), kernel, preferred_element_type=jnp.float32,
+                precision=mxu_precision(x, kernel)).astype(x.dtype)
+    return y + bias if bias is not None else y
+
+
+def _gelu_linear_fwd(x, kernel, bias):
+    return gelu_linear(x, kernel, bias), (x, kernel, bias is not None)
+
+
+def _gelu_linear_bwd(res, dy):
+    x, kernel, has_bias = res
+    g = gelu(x)
+    prec = mxu_precision(x, kernel)
+    lead = tuple(range(x.ndim - 1))
+    dh = jnp.dot(dy, kernel.T, preferred_element_type=jnp.float32,
+                 precision=prec).astype(x.dtype)
+    dx = dh * _gelu_deriv(x).astype(x.dtype)
+    dkernel = jnp.tensordot(g, dy, axes=(lead, lead)).astype(kernel.dtype)
+    dbias = jnp.sum(dy, axis=lead) if has_bias else None
+    return dx, dkernel, dbias
+
+
+gelu_linear.defvjp(_gelu_linear_fwd, _gelu_linear_bwd)
 
 
 def attention_block(x, params, cfg, seg_ids, pos_ids,
@@ -101,6 +180,17 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
         else:
             cos = jnp.ones((T, Dh), x.dtype)
             sin = jnp.zeros((T, Dh), x.dtype)
+        from ..ops.flash import ALIGN, DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q
+        if T % ALIGN == 0:
+            # single AD boundary around split+RoPE+flash+merge: saves
+            # the (T, H·D) projections instead of (H, T, 64) tensors
+            # (2x lane-padding waste each) — see ops/fused_attn.py
+            from ..ops.fused_attn import fused_rotary_flash
+            o_m = fused_rotary_flash(q, k, v, cos, sin, seg_ids, H,
+                                     DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                                     max_seqlen, None)
+            return linear(o_m, params['out'], lora_names,
+                          lora_dropout, rngs[3])
         qh, kh, vh = split_heads_rotary(q, k, v, cos, sin, H)
         o = segment_attention(qh, kh, vh, seg_ids, impl='flash',
                               max_seqlen=max_seqlen, layout='htd')
@@ -135,8 +225,10 @@ def mlp_block(x, params, cfg):
         up = linear(h, params['up'])
         return linear(jax.nn.silu(gate) * up, params['down'])
     h = linear(h, params['fc1'])
-    h = gelu(h)
-    return linear(h, params['fc2'])
+    fc2 = params['fc2']
+    if 'kernel' in fc2 and not fc2.get('lora'):
+        return gelu_linear(h, fc2['kernel'], fc2.get('bias'))
+    return linear(gelu(h), fc2)
 
 
 def transformer_layer(x, params, cfg, seg_ids, pos_ids,

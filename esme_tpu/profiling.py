@@ -23,15 +23,20 @@ import jax
 
 def benchmark(fn: Callable, *args, reps: int = 10,
               warmup: int = 1) -> float:
-    """Mean wall-clock seconds per call, post-compile."""
+    """Mean wall-clock seconds per call, post-compile.
+
+    Blocks on EVERY rep: on the tunneled TPU runtime, blocking only on
+    the last output does not await prior executes, which produced
+    physically impossible timings (sub-ms 650M forwards). Per-rep
+    blocking adds one host round-trip per rep — negligible against real
+    step times and the price of honest numbers."""
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args))
     return (time.time() - t0) / reps
 
 
