@@ -31,8 +31,6 @@ def main():
     ap.add_argument('--reps', type=int, default=10)
     args = ap.parse_args()
 
-    import time
-
     import jax
     import jax.numpy as jnp
     import os
@@ -42,6 +40,7 @@ def main():
     from esme_tpu.alphabet import Alphabet
     from esme_tpu.models.config import config_for
     from esme_tpu.models.esm import ESM, _class_for
+    from esme_tpu.profiling import benchmark
 
     if os.path.isfile(args.model):
         model = ESM.from_pretrained(
@@ -88,13 +87,8 @@ def main():
                            + ana.temp_size_in_bytes
                            + ana.generated_code_size_in_bytes
                            - ana.alias_size_in_bytes) / 2 ** 30
-            jax.block_until_ready(compiled(model_params, t))  # warm
-            t0 = time.time()
-            for _ in range(args.reps):
-                # block EVERY rep: the tunneled runtime does not await
-                # prior executes when only the last output is blocked on
-                jax.block_until_ready(compiled(model_params, t))
-            dt = (time.time() - t0) / args.reps
+            dt = benchmark(lambda: compiled(model_params, t),
+                           reps=args.reps)
         except Exception as e:     # OOM -> -1, like the reference
             print(f'{length},{args.batch},-1,-1,-1  # {type(e).__name__}')
             continue

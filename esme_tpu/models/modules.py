@@ -149,7 +149,6 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
         # context parallelism: local queries over globally gathered
         # keys/values (esme_tpu.parallel.context; no reference
         # analogue — the reference has no sequence parallelism)
-        from ..ops.attention import attention_rect
         q = q.reshape(T, H, Dh)
         k = k.reshape(T, H, Dh)
         v = v.reshape(T, H, Dh)
@@ -161,13 +160,26 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
             else:
                 q, k = apply_rotary_qk(q, k, pos_ids)
         k_full, v_full, seg_k = kv_gather(k, v, seg_ids)
-        o = attention_rect(q, k_full, v_full, seg_ids, seg_k)
+        if attn_impl in ('flash', 'auto'):
+            # Pallas rect kernel: block-span skipping means each chip
+            # touches only the ±max_seqlen neighborhood of its shard
+            from ..ops.flash import flash_rect_attention
+            o = flash_rect_attention(q, k_full, v_full, seg_ids, seg_k,
+                                     max_seqlen=max_seqlen)
+        else:
+            from ..ops.attention import attention_rect
+            o = attention_rect(q, k_full, v_full, seg_ids, seg_k)
         return linear(o.reshape(T, H * Dh), params['out'], lora_names,
                       lora_dropout, rngs[3])
 
     if attn_impl == 'auto':
         on_tpu = jax.default_backend() == 'tpu'
         attn_impl = 'flash' if (on_tpu and T >= 256) else 'reference'
+
+    if attn_impl == 'skip':
+        # profiling aid (tools/decompose_fwd.py): identity attention —
+        # all projections/relayout-free, isolates the matmul+norm cost
+        return linear(q, params['out'], lora_names, lora_dropout, rngs[3])
 
     if attn_impl == 'flash' and T % _BLOCK_T == 0:
         # fused path: one bandwidth pass does head-split + relayout to

@@ -65,8 +65,23 @@ _BWD_SCORE_BUDGET = int(2.5 * 1024 * 1024)
 # score tensor is small (hb=10 at bq=bk=256 fails with 2.5MB of scores).
 _MAX_HEAD_BLOCK = 5
 
+# Raised VMEM ceiling for the kernels (Mosaic's default scoped limit).
+# The per-grid-step scheduling latency (~2-3us) dominates this kernel
+# when head groups are small, so fitting a larger (hb, bq, bk) score
+# tensor — and thus fewer, fatter grid steps — is worth more than any
+# in-step optimization; tools/tune_flash.py sweeps this.
+_VMEM_LIMIT_BYTES: int | None = None
 
-def block_spans(seg_ids: jnp.ndarray, block_q: int, block_k: int):
+
+def _compiler_params():
+    kw = dict(dimension_semantics=('parallel', 'arbitrary', 'arbitrary'))
+    if _VMEM_LIMIT_BYTES is not None:
+        kw['vmem_limit_bytes'] = _VMEM_LIMIT_BYTES
+    return pltpu.CompilerParams(**kw)
+
+
+def block_spans(seg_ids: jnp.ndarray, block_q: int, block_k: int,
+                seg_k: jnp.ndarray | None = None):
     """Per-q-block ``[start, end)`` span of overlapping k blocks and the
     transposed spans for the backward pass.
 
@@ -74,11 +89,16 @@ def block_spans(seg_ids: jnp.ndarray, block_q: int, block_k: int):
     span is min..max overlapping block; interior non-overlapping blocks
     are killed by the in-kernel mask — wasted FLOPs only, never wrong
     results. For packed layouts seg ids are sorted and spans are exact.
+
+    ``seg_k``: separate key-side segment ids for rectangular attention
+    (context parallelism: local queries over gathered global keys);
+    defaults to ``seg_ids`` (self-attention).
     """
+    seg_kk = seg_ids if seg_k is None else seg_k
     nqb = seg_ids.shape[0] // block_q
-    nkb = seg_ids.shape[0] // block_k
+    nkb = seg_kk.shape[0] // block_k
     qs = seg_ids.reshape(nqb, block_q)
-    ks = seg_ids.reshape(nkb, block_k)
+    ks = seg_kk.reshape(nkb, block_k)
     qmin, qmax = qs.min(1), qs.max(1)
     kmin, kmax = ks.min(1), ks.max(1)
 
@@ -218,8 +238,7 @@ def _fwd(q, k, v, seg2d, segT, kstart, kend, *, block_q, block_k,
             jax.ShapeDtypeStruct((H, T, D), q.dtype),
             jax.ShapeDtypeStruct((H, T, 1), jnp.float32),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(kstart, kend, q, seg2d, k, v, segT)
 
@@ -310,7 +329,7 @@ def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
          block_q, block_k, max_span_q, max_span_k, scale, interpret):
     H, T, D = q.shape
     nqb = T // block_q
-    nkb = T // block_k
+    nkb = k.shape[1] // block_k       # may differ from T (rect/CP)
     hb = _head_block(H, block_q, block_k, _BWD_SCORE_BUDGET)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
@@ -360,8 +379,7 @@ def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((H, T, D), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(kstart, kend, q, do, lse, delta, seg2d, k, v, segT)
 
@@ -413,11 +431,10 @@ def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((H, T, D), k.dtype),
-            jax.ShapeDtypeStruct((H, T, D), v.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(qstart, qend, k, v, segT, q, do, lse, delta, seg2d)
 
@@ -436,43 +453,49 @@ def _pad_to(x, t_pad, axis, fill=0):
     return jnp.pad(x, widths, constant_values=fill)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_core(q, k, v, seg_ids, block_q, block_k, max_seqlen, interpret):
-    o, _ = _flash_fwd_vjp(q, k, v, seg_ids, block_q, block_k, max_seqlen,
-                          interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_core(q, k, v, seg_q, seg_k, block_q, block_k, max_seqlen,
+                interpret):
+    o, _ = _flash_fwd_vjp(q, k, v, seg_q, seg_k, block_q, block_k,
+                          max_seqlen, interpret)
     return o
 
 
-def _flash_fwd_vjp(q, k, v, seg_ids, block_q, block_k, max_seqlen,
+def _flash_fwd_vjp(q, k, v, seg_q, seg_k, block_q, block_k, max_seqlen,
                    interpret):
-    """q,k,v: (H, T, D)."""
-    H, T, D = q.shape
+    """q: (H, Tq, D); k, v: (H, Tk, D). Self-attention passes
+    ``seg_k is seg_q``; rectangular (context-parallel local-q /
+    gathered-global-kv) passes distinct per-side segment ids."""
+    H, Tq, D = q.shape
+    Tk = k.shape[1]
     scale = 1.0 / math.sqrt(D)
-    seg2d = seg_ids.reshape(T, 1)
-    segT = seg_ids.reshape(1, T)
-    kstart, kend, _, _ = block_spans(seg_ids, block_q, block_k)
-    max_span = _span_cap(T, block_q, block_k, max_seqlen)
+    seg2d = seg_q.reshape(Tq, 1)
+    segT = seg_k.reshape(1, Tk)
+    kstart, kend, _, _ = block_spans(seg_q, block_q, block_k, seg_k)
+    max_span = _span_cap(Tk, block_q, block_k, max_seqlen)
     hb = _head_block(H, block_q, block_k, _FWD_SCORE_BUDGET)
     o, lse = _fwd(q, k, v, seg2d, segT, kstart, kend, block_q=block_q,
                   block_k=block_k, head_block=hb, max_span=max_span,
                   scale=scale, interpret=interpret)
-    return o, (q, k, v, seg_ids, o, lse)
+    return o, (q, k, v, seg_q, seg_k, o, lse)
 
 
 def _flash_bwd_vjp(block_q, block_k, max_seqlen, interpret, res, do):
-    q, k, v, seg_ids, o, lse = res
-    T = q.shape[1]
+    q, k, v, seg_q, seg_k, o, lse = res
+    Tq = q.shape[1]
+    Tk = k.shape[1]
     scale = 1.0 / math.sqrt(q.shape[2])
-    seg2d = seg_ids.reshape(T, 1)
-    segT = seg_ids.reshape(1, T)
-    kstart, kend, qstart, qend = block_spans(seg_ids, block_q, block_k)
+    seg2d = seg_q.reshape(Tq, 1)
+    segT = seg_k.reshape(1, Tk)
+    kstart, kend, qstart, qend = block_spans(seg_q, block_q, block_k,
+                                             seg_k)
     dq, dk, dv = _bwd(
         q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend,
         block_q=block_q, block_k=block_k,
-        max_span_q=_span_cap(T, block_k, block_q, max_seqlen),
-        max_span_k=_span_cap(T, block_q, block_k, max_seqlen),
+        max_span_q=_span_cap(Tq, block_k, block_q, max_seqlen),
+        max_span_k=_span_cap(Tk, block_q, block_k, max_seqlen),
         scale=scale, interpret=interpret)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash_core.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
@@ -528,10 +551,55 @@ def flash_segment_attention(q, k, v, seg_ids, *,
     # seg_ids are attention structure, not data: block gradients
     seg_fill = jax.lax.stop_gradient(seg_fill)
 
-    o = _flash_core(qt, kt, vt, seg_fill, block_q, block_k, max_seqlen,
-                    interpret)
+    o = _flash_core(qt, kt, vt, seg_fill, seg_fill, block_q, block_k,
+                    max_seqlen, interpret)
     if layout == 'thd':
         o = jnp.swapaxes(o, 0, 1)[:T]
     else:
         o = o[:, :T]
     return o.astype(q.dtype)
+
+
+def flash_rect_attention(q, k, v, seg_q, seg_k, *,
+                         block_q: int = DEFAULT_BLOCK_Q,
+                         block_k: int = DEFAULT_BLOCK_K,
+                         max_seqlen: int | None = None,
+                         interpret: bool | None = None) -> jnp.ndarray:
+    """Rectangular segment-flash attention: local queries over a
+    different (e.g. globally all-gathered) key/value stream.
+
+    The context-parallelism hot path (esme_tpu.parallel.context): the
+    Pallas replacement for the XLA-scan ``attention_rect``. ``q``:
+    ``(Tq, H, D)``; ``k``/``v``: ``(Tk, H, D)``; per-side segment ids.
+    Same block-span skipping as the self-attention kernel — with
+    contiguous token sharding the local q span covers only its own
+    ±max_seqlen neighborhood of the global k stream, so each chip does
+    ~1/N of the tile work. No reference analogue (the reference has no
+    sequence parallelism, SURVEY.md §2.4).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    Tq, H, D = q.shape
+    Tk = k.shape[0]
+    bq = min(block_q, ((Tq + 127) // 128) * 128)
+    bk = min(block_k, ((Tk + 127) // 128) * 128)
+    qpad = (-Tq) % bq
+    kpad = (-Tk) % bk
+
+    fake = jnp.maximum(jnp.max(seg_q), jnp.max(seg_k)) + 1
+    sq = _pad_to(seg_q.astype(jnp.int32), qpad, 0)
+    if qpad:
+        sq = sq.at[Tq:].set(fake + 1)      # q pads match nothing
+    sk = _pad_to(seg_k.astype(jnp.int32), kpad, 0)
+    if kpad:
+        sk = sk.at[Tk:].set(fake)          # k pads match nothing real
+
+    qt = _pad_to(jnp.swapaxes(q, 0, 1), qpad, 1)     # (H, Tq', D)
+    kt = _pad_to(jnp.swapaxes(k, 0, 1), kpad, 1)
+    vt = _pad_to(jnp.swapaxes(v, 0, 1), kpad, 1)
+
+    sq = jax.lax.stop_gradient(sq)
+    sk = jax.lax.stop_gradient(sk)
+    o = _flash_core(qt, kt, vt, sq, sk, bq, bk, max_seqlen, interpret)
+    return jnp.swapaxes(o, 0, 1)[:Tq].astype(q.dtype)

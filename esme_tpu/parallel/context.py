@@ -47,11 +47,12 @@ def make_kv_gather(axis: str):
 
 @partial(jax.jit, static_argnames=('cfg', 'mesh', 'axis', 'with_head',
                                    'log_prob', 'attn_impl',
-                                   'checkpointing'))
+                                   'checkpointing', 'max_seqlen'))
 def forward_flat_cp(params, cfg, tokens, seg_ids, pos_ids, *,
                     mesh, axis: str = 'seq', with_head: bool = True,
                     log_prob: bool = False, attn_impl: str = 'auto',
-                    checkpointing: bool = False):
+                    checkpointing: bool = False,
+                    max_seqlen: Optional[int] = None):
     """Context-parallel :func:`esme_tpu.models.esm.forward_flat`:
     tokens/seg_ids/pos_ids shard over ``axis``, params replicate,
     output returns sharded over ``axis`` (token-local logits).
@@ -69,13 +70,17 @@ def forward_flat_cp(params, cfg, tokens, seg_ids, pos_ids, *,
                          f'{axis} axis size {n}')
 
     kv_gather = make_kv_gather(axis)
+    if attn_impl == 'auto':
+        # Pallas rect kernel on TPU; XLA-scan rect attention elsewhere
+        attn_impl = 'flash' if jax.default_backend() == 'tpu' \
+            else 'reference'
 
     def local(params, tokens, seg_ids, pos_ids):
         return forward_flat(
             params, cfg, tokens, seg_ids, pos_ids,
-            with_head=with_head, log_prob=log_prob,
-            attn_impl='reference' if attn_impl == 'auto' else attn_impl,
-            checkpointing=checkpointing, kv_gather=kv_gather)
+            with_head=with_head, log_prob=log_prob, attn_impl=attn_impl,
+            checkpointing=checkpointing, kv_gather=kv_gather,
+            max_seqlen=max_seqlen)
 
     tok_spec = P(axis)
     return shard_map(
@@ -104,5 +109,6 @@ def context_parallel_log_prob(model, tokens, pad_args, mesh,
                                    tokens.shape[0])
     out = forward_flat_cp(model.params, model.config, tokens, seg_ids,
                           pos_ids, mesh=mesh, axis=axis, log_prob=True,
-                          checkpointing=model.checkpointing)
+                          checkpointing=model.checkpointing,
+                          max_seqlen=int(max_len))
     return out[:tokens.shape[0] - pad] if pad else out

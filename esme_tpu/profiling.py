@@ -21,23 +21,47 @@ from typing import Callable, Optional
 import jax
 
 
+def sync(out) -> None:
+    """TRUE device synchronization.
+
+    On the tunneled TPU runtime ``block_until_ready`` (method and
+    ``jax.block_until_ready`` alike) returns immediately without
+    awaiting execution — it produced physically impossible timings
+    (sub-ms 650M forwards, 194M tokens/s). The only operation that
+    demonstrably awaits the device stream is a device->host transfer,
+    so this reduces one output leaf to a scalar on device and fetches
+    it. The TPU stream is FIFO: the fetch completing implies every
+    previously enqueued program completed."""
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(_sum_leaf(leaf))
+
+
+@jax.jit
+def _sum_leaf(x):
+    import jax.numpy as jnp
+    return jnp.sum(x) if x.ndim else x
+
+
 def benchmark(fn: Callable, *args, reps: int = 10,
               warmup: int = 1) -> float:
     """Mean wall-clock seconds per call, post-compile.
 
-    Blocks on EVERY rep: on the tunneled TPU runtime, blocking only on
-    the last output does not await prior executes, which produced
-    physically impossible timings (sub-ms 650M forwards). Per-rep
-    blocking adds one host round-trip per rep — negligible against real
-    step times and the price of honest numbers."""
+    Enqueues ``reps`` calls and drains the device queue with a real
+    host transfer (see :func:`sync`); the measured idle-queue sync cost
+    (~26ms through the tunnel) is subtracted once."""
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
+    t0 = time.time()
+    sync(out)                      # queue now idle: pure sync overhead
+    sync_cost = time.time() - t0
     t0 = time.time()
     for _ in range(reps):
-        jax.block_until_ready(fn(*args))
-    return (time.time() - t0) / reps
+        out = fn(*args)
+    sync(out)
+    return max(time.time() - t0 - sync_cost, 1e-9) / reps
 
 
 def device_memory_stats(device=None) -> dict:

@@ -84,10 +84,17 @@ class ShardedMaskedPLM:
                  weight_decay: float = 0.0, attn_impl: str = 'auto',
                  grad_accum: int = 1, lora_only=None,
                  train_lmhead: bool = False, trainable_mask=None,
-                 optimizer=None):
+                 optimizer=None, seq_axis: Optional[str] = None):
         self.model = model
         self.mesh = mesh
         self.attn_impl = attn_impl
+        # context parallelism: shard each replica's packed token axis
+        # over this mesh axis; attention gathers k/v across it
+        # (esme_tpu.parallel.context). None = no sequence sharding.
+        if seq_axis is not None and seq_axis not in mesh.axis_names:
+            raise ValueError(f'mesh has no axis {seq_axis!r}')
+        self._seq_axis = seq_axis
+        self._loss_axes = ('data', seq_axis) if seq_axis else ('data',)
 
         self.specs = fsdp_partition_specs(model.params, mesh)
         params, _ = shard_params(model.params, mesh, self.specs)
@@ -116,20 +123,36 @@ class ShardedMaskedPLM:
     def _local_loss(self, params, masked, targets, mask, cu_lens,
                     max_seqlen):
         tok = masked[0]
-        seg_ids, pos_ids = packed_meta(cu_lens[0], tok.shape[0])
+        kv_gather = None
+        if self._seq_axis:
+            # tokens arrive sharded over the seq axis: build GLOBAL
+            # segment/position metadata from the replicated cu_lens and
+            # slice this shard's window; attention all-gathers k/v
+            from ..parallel.context import make_kv_gather
+            n = self.mesh.shape[self._seq_axis]
+            t_loc = tok.shape[0]
+            seg_all, pos_all = packed_meta(cu_lens[0], t_loc * n)
+            i = jax.lax.axis_index(self._seq_axis)
+            seg_ids = jax.lax.dynamic_slice_in_dim(seg_all, i * t_loc,
+                                                   t_loc)
+            pos_ids = jax.lax.dynamic_slice_in_dim(pos_all, i * t_loc,
+                                                   t_loc)
+            kv_gather = make_kv_gather(self._seq_axis)
+        else:
+            seg_ids, pos_ids = packed_meta(cu_lens[0], tok.shape[0])
         logits = forward_flat(
             params, self.model.config, tok, seg_ids, pos_ids,
             with_head=True, attn_impl=self.attn_impl,
             checkpointing=self.model.checkpointing, max_seqlen=max_seqlen,
             layer_gather=self._layer_gather,
-            outer_gather=self._outer_gather)
+            outer_gather=self._outer_gather, kv_gather=kv_gather)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ll = jnp.take_along_axis(
             logp, targets[0][:, None].astype(jnp.int32), axis=-1)[:, 0]
         w = mask[0].astype(jnp.float32)
-        # global masked mean across the data axis
-        s = jax.lax.psum((ll * w).sum(), 'data')
-        c = jax.lax.psum(w.sum(), 'data')
+        # global masked mean across the data (and seq) axes
+        s = jax.lax.psum((ll * w).sum(), self._loss_axes)
+        c = jax.lax.psum(w.sum(), self._loss_axes)
         return -s / jnp.maximum(c, 1.0)
 
     def _split_specs(self):
@@ -141,7 +164,8 @@ class ShardedMaskedPLM:
              donate_argnames=('state',))
     def _step(self, state: ShardedTrainState, masked, targets, mask,
               cu_lens, max_seqlen: int):
-        batch_spec = P('data', *([None] * (masked.ndim - 1)))
+        batch_spec = P('data', self._seq_axis,
+                       *([None] * (masked.ndim - 2)))
         cu_spec = P('data', None)
         train, frozen, treedef, flags = split_by_mask(state.params,
                                                       self._mask)
@@ -153,7 +177,8 @@ class ShardedMaskedPLM:
                 return self._local_loss(params, masked, targets, mask,
                                         cu_lens, max_seqlen)
             loss, grads = jax.value_and_grad(loss_fn)(train)
-            grads = jax.tree.map(lambda g: jax.lax.psum(g, 'data'), grads)
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g, self._loss_axes), grads)
             return loss, grads
 
         loss, grads = shard_map(
@@ -173,7 +198,8 @@ class ShardedMaskedPLM:
     @partial(jax.jit, static_argnames=('self', 'max_seqlen'))
     def _val(self, params, masked, targets, mask, cu_lens,
              max_seqlen: int):
-        batch_spec = P('data', *([None] * (masked.ndim - 1)))
+        batch_spec = P('data', self._seq_axis,
+                       *([None] * (masked.ndim - 2)))
         return shard_map(
             partial(self._local_loss, max_seqlen=max_seqlen),
             mesh=self.mesh,
@@ -199,11 +225,12 @@ class ShardedMaskedPLM:
             masked, targets, mask, cu_lens, max_len = stack_batches(batches)
         else:
             masked, targets, mask, cu_lens, max_len = batches
-        sh = NamedSharding(self.mesh, P('data', None))
+        sh = NamedSharding(self.mesh, P('data', self._seq_axis))
+        cu_sh = NamedSharding(self.mesh, P('data', None))
         return (self._put(np.asarray(masked, np.int32), sh),
                 self._put(np.asarray(targets, np.int32), sh),
                 self._put(np.asarray(mask), sh),
-                self._put(np.asarray(cu_lens, np.int32), sh),
+                self._put(np.asarray(cu_lens, np.int32), cu_sh),
                 int(max_len))
 
     # -- public steps -------------------------------------------------------

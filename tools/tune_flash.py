@@ -27,13 +27,12 @@ def make_inputs(T=50176, H=20, D=64, seed=0):
 
 
 def timeit(fn, *args, reps=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    # true-sync timing: block_until_ready is a NO-OP on the tunneled
+    # runtime (round-2 sweep timings were invalid because of this)
+    import sys
+    sys.path.insert(0, '/root/repo')
+    from esme_tpu.profiling import benchmark
+    return benchmark(fn, *args, reps=reps)
 
 
 def main():
