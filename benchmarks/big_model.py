@@ -1,0 +1,110 @@
+"""BASELINE config 4: big-model capacity demo.
+
+ESM2-3B weights are written straight to a reference-schema safetensors
+file on the host (random-init at the real architecture — no egress in
+this environment), then loaded with streaming 4-bit quantization (the
+bf16 model never materializes on device) + activation checkpointing,
+and a ``predict_mask_margin`` sweep runs on the chip
+(reference: esme/esm.py:434-446 Linear4bit load; BASELINE.md config 4).
+Records runtime and XLA buffer-assignment memory. ``--model esm2_15b``
+runs the same flow at 15B (stretch: 4-bit weights ~ 7.4GB).
+
+Usage:
+  python benchmarks/big_model.py --model esm2_3b [--keep FILE]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+import numpy as np
+
+
+def write_random_checkpoint(path, cfg, name, seed=0):
+    """Random-init safetensors in the reference key schema, written
+    tensor-by-tensor on the host (no device round-trip)."""
+    from esme_tpu.models.init import init_params
+    from esme_tpu.models.io import params_to_flat
+    import jax
+
+    # host-side init: small per-leaf normal tensors, bf16 via numpy view
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+        params = jax.jit(init_params, static_argnums=(0,),
+                         backend='cpu')(cfg, jax.random.key(seed))
+        flat = params_to_flat(jax.tree.map(np.asarray, params), cfg)
+    import safetensors.numpy
+    import ml_dtypes
+    flat = {k: np.asarray(v) for k, v in flat.items()}
+    metadata = {'name': name, 'num_layers': str(cfg.num_layers),
+                'embed_dim': str(cfg.embed_dim),
+                'attention_heads': str(cfg.attention_heads),
+                'format': 'pt'}
+    safetensors.numpy.save_file(flat, path, metadata=metadata)
+    return os.path.getsize(path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model', default='esm2_3b')
+    ap.add_argument('--quantization', default='4bit')
+    ap.add_argument('--seq-len', type=int, default=256,
+                    help='protein length for the mask-margin sweep')
+    ap.add_argument('--keep', default=None,
+                    help='reuse/keep the checkpoint at this path')
+    args = ap.parse_args()
+
+    import jax
+    from esme_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from esme_tpu.models.config import config_for
+    from esme_tpu.models.esm import ESM
+    from esme_tpu.profiling import device_memory_stats
+    from esme_tpu.variant import predict_mask_margin
+
+    cfg = config_for(args.model)
+    n_params = cfg.num_layers * (
+        4 * cfg.embed_dim ** 2 + 2 * cfg.embed_dim * 4 * cfg.embed_dim)
+    print(f'# {args.model}: {cfg.num_layers}L/{cfg.embed_dim}d, '
+          f'~{n_params/1e9:.1f}B linear params, '
+          f'bf16 {2*n_params/2**30:.1f} GiB '
+          f'(> HBM: streaming quantized load required)', flush=True)
+
+    path = args.keep or os.path.join(tempfile.gettempdir(),
+                                     f'{args.model}_random.safetensors')
+    if not os.path.exists(path):
+        t0 = time.time()
+        size = write_random_checkpoint(path, cfg, args.model)
+        print(f'checkpoint written: {size/2**30:.2f} GiB in '
+              f'{time.time()-t0:.0f}s', flush=True)
+
+    t0 = time.time()
+    model = ESM.from_pretrained(path, quantization=args.quantization,
+                                checkpointing=True)
+    qbytes = sum(np.dtype(x.dtype).itemsize * x.size
+                 for x in jax.tree.leaves(model.params))
+    print(f'loaded {args.quantization} in {time.time()-t0:.0f}s; '
+          f'device params {qbytes/2**30:.2f} GiB', flush=True)
+
+    seq = ''.join(np.random.default_rng(0).choice(
+        list('LAGVSERTIDPKQNFYMHWC'), args.seq_len))
+    t0 = time.time()
+    df = predict_mask_margin(model, seq)
+    dt = time.time() - t0
+    stats = device_memory_stats()
+    peak = stats.get('peak_bytes_in_use')
+    print('model,quant,seq_len,n_variants,mask_margin_sec,peak_gb')
+    print(f'{args.model},{args.quantization},{args.seq_len},{len(df)},'
+          f'{dt:.1f},{peak/2**30 if peak else -1:.2f}', flush=True)
+    print(f'# sample margins: {df["score"].head(3).tolist()}'
+          if 'score' in df.columns else f'# columns: {list(df.columns)}')
+    if not args.keep:
+        os.unlink(path)
+
+
+if __name__ == '__main__':
+    main()

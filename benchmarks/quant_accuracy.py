@@ -1,0 +1,107 @@
+"""Quantization accuracy at scale: bf16 vs int8 vs NF4.
+
+The reference's quantization contract is quality-level: pretrained
+pseudo-perplexity stays < 2 and logits track the full-precision model
+(reference: tests/test_esm.py:209-261). No pretrained weights are
+reachable in this environment (no egress), so this measures the same
+two quantities against the bf16 model as the oracle on seeded
+650M-architecture weights: per-token logits cosine similarity and the
+pseudo-perplexity delta on a packed batch. Writes CSV to stdout.
+
+Usage:
+  python benchmarks/quant_accuracy.py --model esm2_650m
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--model', default='esm2_650m')
+    ap.add_argument('--tokens', type=int, default=8192)
+    ap.add_argument('--cos-threshold', type=float, default=0.99,
+                    help='pass/fail: reference contract cos > 0.99 '
+                         '(reference: tests/test_esm.py:228-261)')
+    ap.add_argument('--ppl-threshold', type=float, default=0.1,
+                    help='pass/fail: |ppl delta| (reference: '
+                         'tests/test_esm.py:16-20 uses < 0.1)')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from esme_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from esme_tpu.alphabet import Alphabet
+    from esme_tpu.models.config import config_for
+    from esme_tpu.models.esm import _class_for, forward_flat, packed_meta
+    from esme_tpu.quant import quantize_model_params
+
+    cfg = config_for(args.model)
+    model = _class_for(cfg.family)(config=cfg, rng=0)
+    bf16_params = model.params
+
+    rng = np.random.default_rng(0)
+    T = args.tokens
+    lens, total = [], 0
+    while total + 514 <= T - 128:
+        lens.append(514)
+        total += 514
+    cu = np.cumsum([0, *lens]).astype(np.int32)
+    tokens = np.full(T, Alphabet.padding_idx, np.int32)
+    tokens[:cu[-1]] = rng.integers(4, 24, cu[-1])
+    for i in range(len(lens)):
+        tokens[cu[i]] = Alphabet.cls_idx
+        tokens[cu[i + 1] - 1] = Alphabet.eos_idx
+    seg, pos = packed_meta(jnp.asarray(cu), T)
+    tj = jnp.asarray(tokens)
+    n_real = int(cu[-1])
+
+    def logits_of(params):
+        lp = forward_flat(params, cfg, tj, seg, pos, with_head=True,
+                          log_prob=True, attn_impl='auto',
+                          max_seqlen=514)
+        return np.asarray(lp[:n_real], np.float32)
+
+    def pppl(logp):
+        # pseudo-perplexity proxy: exp of mean NLL of the observed
+        # token under the (unmasked) model — the same statistic the
+        # reference's Perplexity metric reduces to on these inputs
+        nll = -logp[np.arange(n_real), tokens[:n_real]]
+        return float(np.exp(nll.mean()))
+
+    base = logits_of(bf16_params)
+    base_ppl = pppl(base)
+
+    print('mode,cos_sim_mean,cos_sim_min,max_abs_logit_diff,'
+          'pseudo_ppl,ppl_delta,pass')
+    print(f'bf16,1.0,1.0,0.0,{base_ppl:.4f},0.0,True', flush=True)
+
+    ok_all = True
+    for mode in ('8bit', '4bit'):
+        qparams = quantize_model_params(
+            jax.tree.map(lambda x: x, bf16_params), cfg, mode)
+        lq = logits_of(qparams)
+        num = (base * lq).sum(-1)
+        den = np.linalg.norm(base, axis=-1) * np.linalg.norm(lq, axis=-1)
+        cos = num / np.maximum(den, 1e-9)
+        q_ppl = pppl(lq)
+        delta = q_ppl - base_ppl
+        ok = cos.mean() > args.cos_threshold and \
+            abs(delta) < args.ppl_threshold
+        ok_all &= ok
+        print(f'{mode},{cos.mean():.5f},{cos.min():.5f},'
+              f'{np.abs(base - lq).max():.4f},{q_ppl:.4f},'
+              f'{delta:+.4f},{ok}', flush=True)
+        del qparams, lq
+
+    sys.exit(0 if ok_all else 1)
+
+
+if __name__ == '__main__':
+    main()
