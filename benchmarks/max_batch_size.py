@@ -24,7 +24,7 @@ def main():
     from esme_tpu.alphabet import Alphabet
     from esme_tpu.models.config import config_for
     from esme_tpu.models.esm import _class_for, forward_flat, packed_meta
-    from esme_tpu.profiling import benchmark, peak_memory_gb
+    from esme_tpu.profiling import benchmark
 
     cfg = config_for(args.model)
     model = _class_for(cfg.family)(config=cfg, rng=0)
@@ -45,12 +45,24 @@ def main():
                                 with_head=True, max_seqlen=seq)
 
         try:
+            # XLA buffer-assignment peak (runtime stats are absent on
+            # the tunneled backend)
+            peak_gb = -1.0
+            try:
+                from esme_tpu.profiling import memory_analysis_gb
+                ana = memory_analysis_gb(
+                    forward_flat, model.params, cfg, tj, seg, pos,
+                    with_head=True, max_seqlen=seq)
+                if ana:
+                    peak_gb = ana['total_gb']
+            except Exception:
+                pass
             dt = benchmark(fwd, tj, seg, pos, reps=args.reps)
         except Exception as e:
             print(f'{budget},-1,-1,-1  # {type(e).__name__}')
             continue
         print(f'{budget},{dt:.4f},{cu[-1] / dt:.0f},'
-              f'{peak_memory_gb() or -1:.2f}', flush=True)
+              f'{peak_gb:.2f}', flush=True)
 
 
 if __name__ == '__main__':

@@ -21,15 +21,25 @@ def main():
                     choices=['none', '8bit', '4bit'])
     args = ap.parse_args()
 
+    import os
     from esme_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from esme_tpu.fasta import Fasta
-    from esme_tpu.models.esm import ESM
+    from esme_tpu.models.esm import ESM, _class_for
     from esme_tpu.variant import predict_pseudoperplexity
 
-    model = ESM.from_pretrained(
-        args.model, quantization=None if args.quantization == 'none'
-        else args.quantization)
+    if os.path.isfile(args.model):
+        model = ESM.from_pretrained(
+            args.model, quantization=None if args.quantization == 'none'
+            else args.quantization)
+    else:
+        # name without a file: random init at that architecture (no
+        # egress in this environment; synthetic capture only)
+        from esme_tpu.models.config import config_for
+        cfg = config_for(args.model)
+        model = _class_for(cfg.family)(config=cfg, rng=0)
+        if args.quantization != 'none':
+            model.quantize(args.quantization)
     fa = Fasta(args.fasta, max_len=args.max_len, k_sample=args.k_sample,
                rng=np.random.default_rng(0))
 

@@ -56,9 +56,15 @@ def cells(args):
                     ('ckpt', ['--checkpointing']),
                     ('lora', ['--checkpointing', '--lora-rank', '16']),
                     ('nockpt', [])]:
+                # nockpt runs at the reference's un-checkpointed
+                # operating point (token_per_batch=10k, reference:
+                # workflow/train/runtime_lightning.py:35-39); ckpt at
+                # the DeepSpeed point (50k, runtime.py:28-30)
+                tpb = (args.nockpt_token_per_batch if mode == 'nockpt'
+                       else args.token_per_batch)
                 yield (f'train_runtime__{m}_{mode}',
                        ['train_runtime.py', '--model', m,
-                        '--token-per-batch', str(args.token_per_batch),
+                        '--token-per-batch', str(tpb),
                         '--steps', str(args.train_steps)] + extra)
     if 'train_memory' in suites:
         for m in models:
@@ -84,6 +90,7 @@ def main():
     ap.add_argument('--bucket-step', type=int, default=650)
     ap.add_argument('--reps', type=int, default=10)
     ap.add_argument('--token-per-batch', type=int, default=50_000)
+    ap.add_argument('--nockpt-token-per-batch', type=int, default=10_000)
     ap.add_argument('--train-steps', type=int, default=8)
     ap.add_argument('--timeout', type=int, default=1800,
                     help='per-cell timeout in seconds')

@@ -39,13 +39,15 @@ def main():
            '`python benchmarks/summarize.py`.', '']
 
     if 'inference_runtime' in groups:
-        out += ['## Inference runtime (batch 16, mean of 10 reps)', '',
-                '| model/quant | length | sec/fwd | tokens/sec |',
-                '|---|---|---|---|']
+        out += ['## Inference runtime (batch 16, true-sync timed reps; '
+                'peak = XLA buffer assignment)', '',
+                '| model/quant | length | sec/fwd | tokens/sec | '
+                'peak GB |', '|---|---|---|---|---|']
         for cell, rows in groups['inference_runtime']:
             for r in rows:
                 out.append(f'| {cell} | {r["length"]} | '
-                           f'{r["sec_per_fwd"]} | {r["tokens_per_sec"]} |')
+                           f'{r["sec_per_fwd"]} | {r["tokens_per_sec"]} |'
+                           f' {r.get("peak_gb", "-1")} |')
         out.append('')
 
     if 'inference_memory' in groups:
@@ -62,12 +64,13 @@ def main():
     if 'train_runtime' in groups:
         out += ['## MLM train-step runtime (packed token budget)', '',
                 '| model/config | tokens/batch | sec/step | '
-                'train tokens/sec |', '|---|---|---|---|']
+                'train tokens/sec | peak GB |', '|---|---|---|---|---|']
         for cell, rows in groups['train_runtime']:
             for r in rows:
                 out.append(f'| {cell} | {r["token_per_batch"]} | '
                            f'{r["sec_per_step"]} | '
-                           f'{r["train_tokens_per_sec"]} |')
+                           f'{r["train_tokens_per_sec"]} | '
+                           f'{r.get("peak_gb", "-1")} |')
         out.append('')
 
     for suite in groups:

@@ -109,13 +109,33 @@ def main():
               f'# {type(e).__name__}')
         return
 
+    # Compile-time XLA buffer assignment = the TPU-native peak-memory
+    # figure (runtime memory stats are absent on the tunneled backend;
+    # reference records max_memory_allocated, workflow/utils/memory.py)
+    peak_gb = -1.0
+    try:
+        from esme_tpu.profiling import memory_analysis_gb
+        from esme_tpu.models.esm import packed_meta
+        import jax.numpy as jnp
+        b = batches[0]
+        cu_lens = jnp.asarray(b.cu_lens, jnp.int32)
+        seg_ids, pos_ids = packed_meta(cu_lens, b.tokens.shape[0])
+        ana = memory_analysis_gb(
+            trainer._step, trainer.state,
+            jnp.asarray(b.masked_tokens, jnp.int32), seg_ids, pos_ids,
+            jnp.asarray(b.tokens, jnp.int32), jnp.asarray(b.mask),
+            int(b.max_len))
+        if ana:
+            peak_gb = ana['total_gb']
+    except Exception:
+        pass
+
     t0 = time.time()
     total_tokens = 0
     for i in range(args.steps):
         b = batches[i % len(batches)]
-        trainer.training_step(b)
+        trainer.training_step(b)   # float(loss) is a true host sync
         total_tokens += int(b.cu_lens[-1])
-    jax.block_until_ready(trainer.state.params)
     dt = time.time() - t0
 
     name = 'ckpt' if args.checkpointing else 'nockpt'
@@ -127,7 +147,7 @@ def main():
           'train_tokens_per_sec,peak_gb')
     print(f'{name},{args.token_per_batch},{args.steps},'
           f'{dt / args.steps:.4f},{total_tokens / dt:.0f},'
-          f'{peak_memory_gb() or -1:.2f}', flush=True)
+          f'{peak_gb:.2f}', flush=True)
 
 
 if __name__ == '__main__':

@@ -111,9 +111,9 @@ def fwd_v2(q, k, v, seg2d, segT, kstart, kend, *, block_q, block_k,
                          memory_space=pltpu.VMEM),       # q
             pl.BlockSpec((block_q, 1), lambda g, i, *_: (i, 0),
                          memory_space=pltpu.VMEM),       # seg_q (T, 1)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # k (stays HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # v (stays HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),        # seg_k (1, Tk)
+            pl.BlockSpec(memory_space=pl.ANY),        # k (stays HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # v (stays HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # seg_k (1, Tk)
         ],
         out_specs=[
             pl.BlockSpec((hb, block_q, D), lambda g, i, *_: (g, i, 0),

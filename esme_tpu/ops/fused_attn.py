@@ -77,11 +77,28 @@ def fused_rotary_flash(q2, k2, v2, cos, sin, seg_ids, num_heads: int,
 
 def _run_fwd(q2, k2, v2, cos, sin, seg_ids, H, block_q, block_k,
              max_seqlen, interpret):
+    import os
     T = q2.shape[0]
     D = q2.shape[1] // H
-    qh, kh, vh = _split_call(q2, k2, v2, cos, sin, H, False, interpret)
     seg2d = seg_ids.reshape(T, 1)
     segT = seg_ids.reshape(1, T)
+    if os.environ.get('ESME_FLASH_IMPL') == 'v2' and not interpret:
+        # dynamic-span inner pipeline (ops/flash_v2.py): DMA traffic
+        # drops to the actual block-diagonal coverage
+        from .flash_v2 import fwd_v2
+        from .headsplit import _split_call_t
+        bk = int(os.environ.get('ESME_V2_BK', block_k))
+        hb = int(os.environ.get('ESME_V2_HB', 4))
+        while H % hb:
+            hb -= 1
+        qh, kT, vT = _split_call_t(q2, k2, v2, cos, sin, H, interpret)
+        kstart, kend, _, _ = block_spans(seg_ids, block_q, bk)
+        o, lse = fwd_v2(qh, kT, vT, seg2d, segT, kstart, kend,
+                        block_q=block_q, block_k=bk, head_block=hb,
+                        scale=1.0 / math.sqrt(D), interpret=interpret)
+        o_m = _merge_call(o, None, None, False, False, interpret)
+        return o_m, lse
+    qh, kh, vh = _split_call(q2, k2, v2, cos, sin, H, False, interpret)
     kstart, kend, _, _ = block_spans(seg_ids, block_q, block_k)
     hb = _head_block(H, block_q, block_k, _FWD_SCORE_BUDGET)
     o, lse = _fwd(qh, kh, vh, seg2d, segT, kstart, kend,

@@ -72,6 +72,54 @@ def _split_one_kernel(x_ref, o_ref, *, H, D):
         o_ref[h] = x_ref[:, h * D:(h + 1) * D]
 
 
+def _split_kernel_t(q_ref, k_ref, v_ref, cos_ref, sin_ref,
+                    qo_ref, ko_ref, vo_ref, *, H, D):
+    """Like :func:`_split_kernel` but emits k/v token-minor
+    ``(H, D, bt)``: the in-VMEM transpose makes the HBM layout
+    ``(H, D, T)`` whose minor dim is T — so the flash-v2 inner pipeline
+    can DMA lane-aligned ``(hb, D, bk)`` tiles straight from HBM
+    (a ``(bk, 64)`` tile of a lane-padded ``(T, 64)`` array cannot be
+    sliced; see ops/flash_v2.py)."""
+    h2 = D // 2
+    c = cos_ref[:, :h2]
+    s = sin_ref[:, :h2]
+    for h in range(H):
+        lo, mid, hi = h * D, h * D + h2, (h + 1) * D
+        q1, q2 = q_ref[:, lo:mid], q_ref[:, mid:hi]
+        qo_ref[h, :, :h2] = q1 * c - q2 * s
+        qo_ref[h, :, h2:] = q2 * c + q1 * s
+        k1, k2 = k_ref[:, lo:mid], k_ref[:, mid:hi]
+        ko_ref[h, :h2, :] = (k1 * c - k2 * s).T
+        ko_ref[h, h2:, :] = (k2 * c + k1 * s).T
+        vo_ref[h] = v_ref[:, lo:hi].T
+
+
+def _split_call_t(q2, k2, v2, cos, sin, H, interpret):
+    """(T, H·D) q/k/v -> q (H, T, D); k/v (H, D, T) with RoPE on q/k."""
+    T, HD = q2.shape
+    D = HD // H
+    bt = _pick_bt(T, HD, q2.dtype.itemsize, buffers=12)
+    assert T % bt == 0, f'T={T} must be a multiple of {bt}'
+    row = pl.BlockSpec((bt, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    trig = pl.BlockSpec((bt, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_q = pl.BlockSpec((H, bt, D), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    out_t = pl.BlockSpec((H, D, bt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_split_kernel_t, H=H, D=D),
+        grid=(T // bt,),
+        in_specs=[row, row, row, trig, trig],
+        out_specs=[out_q, out_t, out_t],
+        out_shape=[jax.ShapeDtypeStruct((H, T, D), q2.dtype),
+                   jax.ShapeDtypeStruct((H, D, T), k2.dtype),
+                   jax.ShapeDtypeStruct((H, D, T), v2.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(q2, k2, v2, cos, sin)
+
+
 def _merge_kernel(x_ref, cos_ref, sin_ref, o_ref, *, H, D, rotate,
                   inverse_rotation):
     h2 = D // 2

@@ -109,6 +109,21 @@ def quantize_nf4(kernel: jnp.ndarray, block: int = 64
     }
 
 
+def _nf4_decode(idx: jnp.ndarray) -> jnp.ndarray:
+    """Codebook decode as a binary select tree (4 compares + 15
+    selects, pure VPU, fuses into the dequant loop). ``jnp.take``'s
+    elementwise gather is catastrophically slow on TPU — it made 4-bit
+    inference ~70x slower than bf16 at 650M; the tree is
+    bandwidth-bound like the rest of the dequant."""
+    def tree(lo, hi, bit):
+        if hi - lo == 1:
+            return jnp.float32(NF4_CODE[lo])
+        mid = (lo + hi) // 2
+        return jnp.where((idx & (1 << bit)) != 0,
+                         tree(mid, hi, bit - 1), tree(lo, mid, bit - 1))
+    return tree(0, 16, 3)
+
+
 def dequantize(params: Dict[str, jnp.ndarray],
                dtype=jnp.bfloat16) -> jnp.ndarray:
     """Back to a dense ``(..., in, out)`` kernel. The scheme is
@@ -127,8 +142,7 @@ def dequantize(params: Dict[str, jnp.ndarray],
         hi = (packed >> 4).astype(jnp.int32)
         idx = jnp.stack([lo, hi], axis=-2)      # (..., half_in, 2, out)
         idx = idx.reshape(*lead, nblocks, block, d_out)
-        code = jnp.asarray(NF4_CODE)
-        w = jnp.take(code, idx) * scale
+        w = _nf4_decode(idx) * scale
         return w.reshape(*lead, half_in * 2, d_out).astype(dtype)
     raise ValueError(f'unknown quant dtype {params["qvalue"].dtype}')
 
