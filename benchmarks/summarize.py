@@ -13,7 +13,10 @@ import os
 
 def read_csv(path):
     with open(path) as f:
-        lines = [l.strip() for l in f if l.strip()]
+        lines = [l.strip() for l in f
+                 if l.strip() and not l.startswith('#')]
+    if not lines:
+        return []
     header = lines[0].split(',')
     rows = []
     for line in lines[1:]:

@@ -120,8 +120,10 @@ def main():
         b = batches[0]
         cu_lens = jnp.asarray(b.cu_lens, jnp.int32)
         seg_ids, pos_ids = packed_meta(cu_lens, b.tokens.shape[0])
+        # class-level _step: the jitted method's bound wrapper loses
+        # the binding on .lower(), so pass self explicitly (static)
         ana = memory_analysis_gb(
-            trainer._step, trainer.state,
+            type(trainer)._step, trainer, trainer.state,
             jnp.asarray(b.masked_tokens, jnp.int32), seg_ids, pos_ids,
             jnp.asarray(b.tokens, jnp.int32), jnp.asarray(b.mask),
             int(b.max_len))

@@ -91,11 +91,13 @@ def _run_fwd(q2, k2, v2, cos, sin, seg_ids, H, block_q, block_k,
         hb = int(os.environ.get('ESME_V2_HB', 4))
         while H % hb:
             hb -= 1
+        vmem = int(os.environ.get('ESME_V2_VMEM_MB', 100)) * 1024 * 1024
         qh, kT, vT = _split_call_t(q2, k2, v2, cos, sin, H, interpret)
         kstart, kend, _, _ = block_spans(seg_ids, block_q, bk)
         o, lse = fwd_v2(qh, kT, vT, seg2d, segT, kstart, kend,
                         block_q=block_q, block_k=bk, head_block=hb,
-                        scale=1.0 / math.sqrt(D), interpret=interpret)
+                        scale=1.0 / math.sqrt(D), interpret=interpret,
+                        vmem_limit=vmem)
         o_m = _merge_call(o, None, None, False, False, interpret)
         return o_m, lse
     qh, kh, vh = _split_call(q2, k2, v2, cos, sin, H, False, interpret)

@@ -69,8 +69,8 @@ def main():
     ref = run('v1 (static span)')
 
     os.environ['ESME_FLASH_IMPL'] = 'v2'
-    for bk, hb in [(1024, 4), (1024, 10), (512, 10), (512, 20),
-                   (512, 4), (256, 20)]:
+    for bk, hb in [(1024, 4), (1024, 10), (1024, 20), (512, 10),
+                   (512, 20), (256, 20)]:
         os.environ['ESME_V2_BK'] = str(bk)
         os.environ['ESME_V2_HB'] = str(hb)
         out = run(f'v2 bk={bk} hb={hb}')
