@@ -201,9 +201,27 @@ def main():
     # activation checkpointing, workflow/train/runtime.py:28-30) and
     # un-checkpointed at 10k (Lightning DDP,
     # workflow/train/runtime_lightning.py:35-39).
-    for ckpt, key, budget in ((True, 'ckpt', token_budget),
-                              (False, 'nockpt',
-                               10_000 if on_tpu else token_budget)):
+    #
+    # NB these numbers are NOT directly comparable with
+    # results/train_runtime__*.csv: the grid's synthetic batch is
+    # uniform 250-aa proteins (the reference's max-batch protein)
+    # while this harness packs mixed 100-1000-aa sequences (the
+    # reference's proteome workload) — longer segments mean larger
+    # attention spans per q block, hence lower tok/s here.
+    #
+    # Free the forward-bench buffers and compiled executables before
+    # the train cells: leftover padded-baseline buffers + jit caches
+    # previously pushed the 10k nockpt cell over HBM (round-3 BENCH
+    # recorded a RESOURCE_EXHAUSTED that the standalone grid run
+    # contradicted).
+    if on_tpu:
+        del out, padded_batches
+    import gc
+    jax.clear_caches()
+    gc.collect()
+    for ckpt, key, budget in ((False, 'nockpt',
+                               10_000 if on_tpu else token_budget),
+                              (True, 'ckpt', token_budget)):
         model.checkpointing = ckpt
         batch = make_batch(budget)
         plm = MaskedPLM(model, attn_impl=impl)
@@ -230,6 +248,8 @@ def main():
         extra[f'train_mfu_{key}'] = round(
             flops / dt_train / PEAK_BF16_FLOPS, 4)
         del plm
+        jax.clear_caches()
+        gc.collect()
     model.checkpointing = False
 
     print(json.dumps({

@@ -5,33 +5,42 @@ The TPU-native replacement for flash-attn's varlen CUDA kernel
 a flat token stream where token *t* may attend token *s* iff
 ``seg_ids[t] == seg_ids[s]``.
 
-Design (SURVEY.md §7 deviation 2):
+Design (SURVEY.md §7 deviation 2), as measured on v5e
+(tools/profile_attn.py, tools/flash_variants.py,
+tools/fwd_T_experiment.py; artifacts in results/flash_*.txt):
 
 * online-softmax tiling (flash attention) → O(T·D) memory;
 * **cross-segment block skipping**: packed batches make attention
   block-diagonal. For every q block the contiguous span of overlapping
   k blocks is precomputed in XLA and scalar-prefetched; the grid's
   inner dimension walks ``max_span`` tiles whose k/v BlockSpec index
-  maps clamp into the span. Pallas's automatic pipelining then
-  double-buffers every tile load behind compute — beyond-span steps
-  clamp to a repeated block index, which skips the copy, and their
-  compute is predicated off. For a 50k-token batch of ~500-aa proteins
-  this skips ~98% of tiles — flash-attn-varlen asymptotics;
-* **head grouping**: TPU grid steps have a fixed ~6µs scheduling cost
-  that dwarfs the (bq,64)×(64,bk) matmuls of a single 64-dim head, so
-  each grid step processes ``head_block`` heads at once via batched
-  ``dot_general`` — 10-20× fewer grid steps for the same FLOPs. The
-  group size is chosen so the fp32 (hb, bq, bk) score tensor and the
-  double-buffered tiles stay inside ~16MB of VMEM;
+  maps clamp into the span, with beyond-span compute predicated off.
+  NB the clamp does NOT skip the tile DMA on this toolchain (measured),
+  so the static span cap directly prices HBM traffic — hence small
+  default tiles;
+* **token-minor everything**: all operands and outputs are
+  ``(H, D, T)``. Head-minor ``(hb, bk, 64)`` bf16 tiles of an
+  ``(H, T, 64)`` array are 128-byte strided rows and move at
+  ~285 GB/s; token-minor tiles are contiguous and move at ~700 GB/s —
+  a 2.4x DMA lever on a kernel whose streams would otherwise bind;
+* **transposed scores**: scores live as ``(hb, bk, bq)`` — k on
+  sublanes, q on lanes — so the online-softmax max/sum reduce over k
+  happens on the SUBLANE dimension. The lane-dim max-reduce of the
+  natural orientation cost ~3 ms/layer at the 650M bench shape (~27%
+  of the kernel; Mosaic lowers lane-dim *sums* through the MXU but not
+  maxes); the transposed kernel measures 5.3 ms/layer vs 11.2
+  (results/flash_fwdT.txt);
+* **head grouping**: each grid step processes ``head_block`` heads at
+  once via batched ``dot_general`` — per-step k/v DMA is shared across
+  the group and the ~1µs per-step scheduling cost amortizes;
 * ``max_span`` is static: derived from the data plane's ``max_len``
   (the longest packed sequence) as ceil((bq + 2·max_len)/bk) + 1;
-* fp32 online-softmax state and fp32 MXU accumulation; bf16 operands;
-* segment ids travel in ``(T, 1)`` and ``(1, T)`` orientations so both
-  mask orientations broadcast without in-kernel transposes.
+* fp32 online-softmax state and fp32 MXU accumulation; bf16 operands.
 
 Backward is the standard two-kernel flash decomposition (dq by q-block,
-dk/dv by k-block) re-using the same span + head-group machinery via
-``jax.custom_vjp``.
+dk/dv by k-block) in the same transposed token-minor formulation; it
+has no max-reduce (it replays the saved LSE), so its win is layout.
+LSE travels as ``(H, 1, T)`` — lane-aligned rows of the q axis.
 """
 
 from __future__ import annotations
@@ -46,31 +55,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# Default tile sizes (v5e sweep, tools/tune_flash.py — larger k tiles
-# amortize per-grid-step cost; the q tile stays small to keep spans
-# tight). ALIGN is the packed-length multiple at which the kernel runs
-# zero-copy: callers that pre-pad T to ALIGN (forward_flat does) skip
-# the per-call pad/slice entirely.
+# Default tile sizes (v5e sweeps, results/flash_fwdT.txt). Small k
+# tiles minimize the static-span DMA sweep; per-step overhead is
+# amortized by large head groups instead. ALIGN is the packed-length
+# multiple at which the kernel runs zero-copy: callers that pre-pad T
+# to ALIGN (forward_flat does) skip the per-call pad/slice entirely.
 DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_K = 256
 ALIGN = math.lcm(DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
 
-# Budgets for the fp32 (hb, bq, bk) score tensor of one grid step,
-# calibrated on v5e against the 16MB scoped-VMEM limit (the compiler
-# keeps ~3 score-sized temporaries live in the fwd kernel and ~5 in the
-# bwd kernels, plus double-buffered tiles): tools/tune_flash.py sweep.
-_FWD_SCORE_BUDGET = 4 * 1024 * 1024
-_BWD_SCORE_BUDGET = int(2.5 * 1024 * 1024)
-# Beyond ~5 grouped heads register/retiling pressure OOMs even when the
-# score tensor is small (hb=10 at bq=bk=256 fails with 2.5MB of scores).
-_MAX_HEAD_BLOCK = 5
+# Budgets for the fp32 (hb, bk, bq) score tensor of one grid step. v5e
+# has 128MB of VMEM (the 16MB figure is Mosaic's default scoped limit,
+# raised via vmem_limit_bytes below); the budget prices the score
+# tensor + compiler temporaries + double-buffered tiles, measured on
+# chip. hb=20 at 256x256 tiles (5MB of scores) is the 650M sweet spot.
+_FWD_SCORE_BUDGET = 6 * 1024 * 1024
+_BWD_SCORE_BUDGET = 6 * 1024 * 1024
+_MAX_HEAD_BLOCK = 32
 
-# Raised VMEM ceiling for the kernels (Mosaic's default scoped limit).
-# The per-grid-step scheduling latency (~2-3us) dominates this kernel
-# when head groups are small, so fitting a larger (hb, bq, bk) score
-# tensor — and thus fewer, fatter grid steps — is worth more than any
-# in-step optimization; tools/tune_flash.py sweeps this.
-_VMEM_LIMIT_BYTES: int | None = None
+# Raised VMEM ceiling for the kernels (Mosaic's default scoped limit is
+# 16MB; v5e has 128MB physical).
+_VMEM_LIMIT_BYTES: int | None = 100 * 1024 * 1024
 
 
 def _compiler_params():
@@ -144,12 +149,12 @@ def _head_block(H, block_q, block_k, budget):
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Forward kernel — all operands token-minor (H, D, T); scores (hb, bk, bq)
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(kstart_ref, kend_ref,
-                q_ref, segq_ref, k_ref, v_ref, segk_ref,
-                o_ref, lse_ref,
+                qT_ref, segq_ref, k_ref, v_ref, segk_ref,
+                oT_ref, lse_ref,
                 m_scr, l_scr, acc_scr,
                 *, scale: float):
     i = pl.program_id(1)
@@ -164,17 +169,21 @@ def _fwd_kernel(kstart_ref, kend_ref,
 
     @pl.when(jj < kend_ref[i] - kstart_ref[i])
     def _():
-        qb = q_ref[:]                                # (hb, bq, d)
-        s = _bdot(qb, k_ref[:], ((2,), (2,))) * scale  # (hb, bq, bk)
-        mask = (segq_ref[:] == segk_ref[:])[None]    # (1, bq, bk)
+        qb = qT_ref[:]                                   # (hb, d, bq)
+        # transposed scores: k on sublanes, q on lanes
+        s = _bdot(k_ref[:], qb, ((1,), (1,))) * scale    # (hb, bk, bq)
+        mask = (segk_ref[:] == segq_ref[:])[None]        # (1, bk, bq)
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scr[:]                            # (hb, bq, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+        m_prev = m_scr[:]                                # (hb, 1, bq)
+        # sublane-dim reduce: the lane-dim max of the natural score
+        # orientation cost ~3 ms/layer (results/flash_variants_r4.txt)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
-        pv = _bdot(p.astype(v_ref.dtype), v_ref[:], ((2,), (1,)))
+        p = jnp.exp(s - m_new)                           # (hb, bk, bq)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # pv token-minor: (hb, d, bq)
+        pv = _bdot(v_ref[:], p.astype(v_ref.dtype), ((2,), (1,)))
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
 
@@ -184,50 +193,51 @@ def _fwd_kernel(kstart_ref, kend_ref,
         # fully-masked rows cannot happen for real tokens (every token
         # overlaps its own block); keep padding rows finite anyway
         l_safe = jnp.where(l == 0, 1.0, l)
-        o_ref[:] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        oT_ref[:] = (acc_scr[:] / l_safe).astype(oT_ref.dtype)
         lse_ref[:] = m_scr[:] + jnp.log(l_safe)
 
 
-def _fwd(q, k, v, seg2d, segT, kstart, kend, *, block_q, block_k,
-         head_block, max_span, scale, interpret):
-    """q/k/v: (H, T, D). Returns o (H,T,D), lse (H,T,1) fp32."""
-    H, T, D = q.shape
-    nqb = T // block_q
+def _fwd(qT, kT, vT, segq_row, segk_col, kstart, kend, *, block_q,
+         block_k, head_block, max_span, scale, interpret):
+    """qT/kT/vT: token-minor (H, D, T); segq_row (1, Tq);
+    segk_col (Tk, 1). Returns oT (H, D, Tq), lse (H, 1, Tq) fp32."""
+    H, D, Tq = qT.shape
+    nqb = Tq // block_q
     hb = head_block
 
     def kv_index(g, i, jj, kstart_ref, kend_ref):
         j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
-        return (g, j, 0)
+        return (g, 0, j)
 
     def segk_index(g, i, jj, kstart_ref, kend_ref):
         j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
-        return (0, j)
+        return (j, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(H // hb, nqb, max_span),
         in_specs=[
-            pl.BlockSpec((hb, block_q, D), lambda g, i, jj, *_: (g, i, 0),
-                         memory_space=pltpu.VMEM),        # q
-            pl.BlockSpec((block_q, 1), lambda g, i, jj, *_: (i, 0),
-                         memory_space=pltpu.VMEM),        # seg_q (T,1)
-            pl.BlockSpec((hb, block_k, D), kv_index,
-                         memory_space=pltpu.VMEM),        # k
-            pl.BlockSpec((hb, block_k, D), kv_index,
-                         memory_space=pltpu.VMEM),        # v
-            pl.BlockSpec((1, block_k), segk_index,
-                         memory_space=pltpu.VMEM),        # seg_k (1,T)
+            pl.BlockSpec((hb, D, block_q), lambda g, i, jj, *_: (g, 0, i),
+                         memory_space=pltpu.VMEM),        # qT
+            pl.BlockSpec((1, block_q), lambda g, i, jj, *_: (0, i),
+                         memory_space=pltpu.VMEM),        # segq (1,Tq)
+            pl.BlockSpec((hb, D, block_k), kv_index,
+                         memory_space=pltpu.VMEM),        # kT
+            pl.BlockSpec((hb, D, block_k), kv_index,
+                         memory_space=pltpu.VMEM),        # vT
+            pl.BlockSpec((block_k, 1), segk_index,
+                         memory_space=pltpu.VMEM),        # segk (Tk,1)
         ],
         out_specs=[
-            pl.BlockSpec((hb, block_q, D), lambda g, i, jj, *_: (g, i, 0),
+            pl.BlockSpec((hb, D, block_q), lambda g, i, jj, *_: (g, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hb, block_q, 1), lambda g, i, jj, *_: (g, i, 0),
+            pl.BlockSpec((hb, 1, block_q), lambda g, i, jj, *_: (g, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((hb, block_q, 1), jnp.float32),
-            pltpu.VMEM((hb, block_q, 1), jnp.float32),
-            pltpu.VMEM((hb, block_q, D), jnp.float32),
+            pltpu.VMEM((hb, 1, block_q), jnp.float32),
+            pltpu.VMEM((hb, 1, block_q), jnp.float32),
+            pltpu.VMEM((hb, D, block_q), jnp.float32),
         ],
     )
 
@@ -235,22 +245,22 @@ def _fwd(q, k, v, seg2d, segT, kstart, kend, *, block_q, block_k,
         functools.partial(_fwd_kernel, scale=scale),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((H, T, D), q.dtype),
-            jax.ShapeDtypeStruct((H, T, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, D, Tq), qT.dtype),
+            jax.ShapeDtypeStruct((H, 1, Tq), jnp.float32),
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(kstart, kend, q, seg2d, k, v, segT)
+    )(kstart, kend, qT, segq_row, kT, vT, segk_col)
 
 
 # ---------------------------------------------------------------------------
-# Backward kernels
+# Backward kernels — same transposed token-minor formulation
 # ---------------------------------------------------------------------------
 
 def _dq_kernel(kstart_ref, kend_ref,
-               q_ref, do_ref, lse_ref, delta_ref, segq_ref,
+               qT_ref, doT_ref, lse_ref, delta_ref, segq_ref,
                k_ref, v_ref, segk_ref,
-               dq_ref,
+               dqT_ref,
                dq_scr,
                *, scale: float):
     i = pl.program_id(1)
@@ -263,29 +273,30 @@ def _dq_kernel(kstart_ref, kend_ref,
 
     @pl.when(jj < kend_ref[i] - kstart_ref[i])
     def _():
-        qb = q_ref[:]                                # (hb, bq, d)
-        dob = do_ref[:]
-        lse = lse_ref[:]                             # (hb, bq, 1)
-        delta = delta_ref[:]                         # (hb, bq, 1)
+        qb = qT_ref[:]                                   # (hb, d, bq)
+        dob = doT_ref[:]                                 # (hb, d, bq)
+        lse = lse_ref[:]                                 # (hb, 1, bq)
+        delta = delta_ref[:]                             # (hb, 1, bq)
 
-        s = _bdot(qb, k_ref[:], ((2,), (2,))) * scale  # (hb, bq, bk)
-        mask = (segq_ref[:] == segk_ref[:])[None]
+        s = _bdot(k_ref[:], qb, ((1,), (1,))) * scale    # (hb, bk, bq)
+        mask = (segk_ref[:] == segq_ref[:])[None]
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
 
-        dp = _bdot(dob, v_ref[:], ((2,), (2,)))        # (hb, bq, bk)
+        dp = _bdot(v_ref[:], dob, ((1,), (1,)))          # (hb, bk, bq)
         ds = p * (dp - delta) * scale
-        dq_scr[:] = dq_scr[:] + _bdot(ds.astype(k_ref.dtype), k_ref[:],
+        # dqT (hb, d, bq) += k^T ds : contract over bk
+        dq_scr[:] = dq_scr[:] + _bdot(k_ref[:], ds.astype(k_ref.dtype),
                                       ((2,), (1,)))
 
     @pl.when(jj == n_span - 1)
     def _():
-        dq_ref[:] = dq_scr[:].astype(dq_ref.dtype)
+        dqT_ref[:] = dq_scr[:].astype(dqT_ref.dtype)
 
 
 def _dkv_kernel(qstart_ref, qend_ref,
                 k_ref, v_ref, segk_ref,
-                q_ref, do_ref, lse_ref, delta_ref, segq_ref,
-                dk_ref, dv_ref,
+                qT_ref, doT_ref, lse_ref, delta_ref, segq_ref,
+                dkT_ref, dvT_ref,
                 dk_scr, dv_scr,
                 *, scale: float):
     j = pl.program_id(1)
@@ -299,146 +310,146 @@ def _dkv_kernel(qstart_ref, qend_ref,
 
     @pl.when(ii < qend_ref[j] - qstart_ref[j])
     def _():
-        kb = k_ref[:]                                # (hb, bk, d)
-        vb = v_ref[:]
-        qb = q_ref[:]                                # (hb, bq, d)
-        dob = do_ref[:]
-        lse = lse_ref[:]                             # (hb, bq, 1)
-        delta = delta_ref[:]                         # (hb, bq, 1)
+        qb = qT_ref[:]                                   # (hb, d, bq)
+        dob = doT_ref[:]                                 # (hb, d, bq)
+        lse = lse_ref[:]                                 # (hb, 1, bq)
+        delta = delta_ref[:]                             # (hb, 1, bq)
 
-        s = _bdot(qb, kb, ((2,), (2,))) * scale      # (hb, bq, bk)
-        mask = (segq_ref[:] == segk_ref[:])[None]    # (1, bq, bk)
+        s = _bdot(k_ref[:], qb, ((1,), (1,))) * scale    # (hb, bk, bq)
+        mask = (segk_ref[:] == segq_ref[:])[None]
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
 
-        # dv (hb, bk, d) = p^T @ do : contract over bq
-        dv_scr[:] = dv_scr[:] + _bdot(p.astype(dob.dtype), dob,
-                                      ((1,), (1,)))
-        dp = _bdot(dob, vb, ((2,), (2,)))            # (hb, bq, bk)
+        # dvT (hb, d, bk) += do p^T : contract over bq
+        dv_scr[:] = dv_scr[:] + _bdot(dob, p.astype(dob.dtype),
+                                      ((2,), (2,)))
+        dp = _bdot(v_ref[:], dob, ((1,), (1,)))          # (hb, bk, bq)
         ds = p * (dp - delta) * scale
-        # dk (hb, bk, d) = ds^T @ q : contract over bq
-        dk_scr[:] = dk_scr[:] + _bdot(ds.astype(qb.dtype), qb,
-                                      ((1,), (1,)))
+        # dkT (hb, d, bk) += q ds^T : contract over bq
+        dk_scr[:] = dk_scr[:] + _bdot(qb, ds.astype(qb.dtype),
+                                      ((2,), (2,)))
 
     @pl.when(ii == n_span - 1)
     def _():
-        dk_ref[:] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[:] = dv_scr[:].astype(dv_ref.dtype)
+        dkT_ref[:] = dk_scr[:].astype(dkT_ref.dtype)
+        dvT_ref[:] = dv_scr[:].astype(dvT_ref.dtype)
 
 
-def _bwd(q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend, *,
+def _bwd(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
+         kstart, kend, qstart, qend, *,
          block_q, block_k, max_span_q, max_span_k, scale, interpret):
-    H, T, D = q.shape
-    nqb = T // block_q
-    nkb = k.shape[1] // block_k       # may differ from T (rect/CP)
+    """All operands token-minor (H, D, T); lse/delta (H, 1, Tq) fp32.
+    Returns dqT (H,D,Tq), dkT/dvT (H,D,Tk)."""
+    H, D, Tq = qT.shape
+    Tk = kT.shape[2]
+    nqb = Tq // block_q
+    nkb = Tk // block_k
     hb = _head_block(H, block_q, block_k, _BWD_SCORE_BUDGET)
-
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1, keepdims=True)          # (H, T, 1)
+    dtype = qT.dtype
 
     def kv_index(g, i, jj, kstart_ref, kend_ref):
         j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
-        return (g, j, 0)
+        return (g, 0, j)
 
     def segk_index(g, i, jj, kstart_ref, kend_ref):
         j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
-        return (0, j)
+        return (j, 0)
 
-    dq = pl.pallas_call(
+    dqT = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(H // hb, nqb, max_span_k),
             in_specs=[
-                pl.BlockSpec((hb, block_q, D),
-                             lambda g, i, jj, *_: (g, i, 0),
-                             memory_space=pltpu.VMEM),   # q
-                pl.BlockSpec((hb, block_q, D),
-                             lambda g, i, jj, *_: (g, i, 0),
-                             memory_space=pltpu.VMEM),   # do
-                pl.BlockSpec((hb, block_q, 1),
-                             lambda g, i, jj, *_: (g, i, 0),
-                             memory_space=pltpu.VMEM),   # lse
-                pl.BlockSpec((hb, block_q, 1),
-                             lambda g, i, jj, *_: (g, i, 0),
+                pl.BlockSpec((hb, D, block_q),
+                             lambda g, i, jj, *_: (g, 0, i),
+                             memory_space=pltpu.VMEM),   # qT
+                pl.BlockSpec((hb, D, block_q),
+                             lambda g, i, jj, *_: (g, 0, i),
+                             memory_space=pltpu.VMEM),   # doT
+                pl.BlockSpec((hb, 1, block_q),
+                             lambda g, i, jj, *_: (g, 0, i),
+                             memory_space=pltpu.VMEM),   # lse (H,1,Tq)
+                pl.BlockSpec((hb, 1, block_q),
+                             lambda g, i, jj, *_: (g, 0, i),
                              memory_space=pltpu.VMEM),   # delta
-                pl.BlockSpec((block_q, 1),
-                             lambda g, i, jj, *_: (i, 0),
-                             memory_space=pltpu.VMEM),   # seg_q (T,1)
-                pl.BlockSpec((hb, block_k, D), kv_index,
-                             memory_space=pltpu.VMEM),   # k
-                pl.BlockSpec((hb, block_k, D), kv_index,
-                             memory_space=pltpu.VMEM),   # v
-                pl.BlockSpec((1, block_k), segk_index,
-                             memory_space=pltpu.VMEM),   # seg_k (1,T)
+                pl.BlockSpec((1, block_q),
+                             lambda g, i, jj, *_: (0, i),
+                             memory_space=pltpu.VMEM),   # segq (1,Tq)
+                pl.BlockSpec((hb, D, block_k), kv_index,
+                             memory_space=pltpu.VMEM),   # kT
+                pl.BlockSpec((hb, D, block_k), kv_index,
+                             memory_space=pltpu.VMEM),   # vT
+                pl.BlockSpec((block_k, 1), segk_index,
+                             memory_space=pltpu.VMEM),   # segk (Tk,1)
             ],
-            out_specs=pl.BlockSpec((hb, block_q, D),
-                                   lambda g, i, jj, *_: (g, i, 0),
+            out_specs=pl.BlockSpec((hb, D, block_q),
+                                   lambda g, i, jj, *_: (g, 0, i),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((hb, block_q, D), jnp.float32),
+                pltpu.VMEM((hb, D, block_q), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((H, T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((H, D, Tq), dtype),
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(kstart, kend, q, do, lse, delta, seg2d, k, v, segT)
+    )(kstart, kend, qT, doT, lse, delta, segq_row, kT, vT, segk_col)
 
     def q_index(g, j, ii, qstart_ref, qend_ref):
         i = jnp.minimum(qstart_ref[j] + ii, qend_ref[j] - 1)
-        return (g, i, 0)
+        return (g, 0, i)
 
     def segq_index(g, j, ii, qstart_ref, qend_ref):
         i = jnp.minimum(qstart_ref[j] + ii, qend_ref[j] - 1)
-        return (i, 0)
+        return (0, i)
 
-    dk, dv = pl.pallas_call(
+    dkT, dvT = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(H // hb, nkb, max_span_q),
             in_specs=[
-                pl.BlockSpec((hb, block_k, D),
-                             lambda g, j, ii, *_: (g, j, 0),
-                             memory_space=pltpu.VMEM),   # k
-                pl.BlockSpec((hb, block_k, D),
-                             lambda g, j, ii, *_: (g, j, 0),
-                             memory_space=pltpu.VMEM),   # v
-                pl.BlockSpec((1, block_k),
-                             lambda g, j, ii, *_: (0, j),
-                             memory_space=pltpu.VMEM),   # seg_k (1,T)
-                pl.BlockSpec((hb, block_q, D), q_index,
-                             memory_space=pltpu.VMEM),   # q
-                pl.BlockSpec((hb, block_q, D), q_index,
-                             memory_space=pltpu.VMEM),   # do
-                pl.BlockSpec((hb, block_q, 1), q_index,
+                pl.BlockSpec((hb, D, block_k),
+                             lambda g, j, ii, *_: (g, 0, j),
+                             memory_space=pltpu.VMEM),   # kT
+                pl.BlockSpec((hb, D, block_k),
+                             lambda g, j, ii, *_: (g, 0, j),
+                             memory_space=pltpu.VMEM),   # vT
+                pl.BlockSpec((block_k, 1),
+                             lambda g, j, ii, *_: (j, 0),
+                             memory_space=pltpu.VMEM),   # segk (Tk,1)
+                pl.BlockSpec((hb, D, block_q), q_index,
+                             memory_space=pltpu.VMEM),   # qT
+                pl.BlockSpec((hb, D, block_q), q_index,
+                             memory_space=pltpu.VMEM),   # doT
+                pl.BlockSpec((hb, 1, block_q), q_index,
                              memory_space=pltpu.VMEM),   # lse
-                pl.BlockSpec((hb, block_q, 1), q_index,
+                pl.BlockSpec((hb, 1, block_q), q_index,
                              memory_space=pltpu.VMEM),   # delta
-                pl.BlockSpec((block_q, 1), segq_index,
-                             memory_space=pltpu.VMEM),   # seg_q (T,1)
+                pl.BlockSpec((1, block_q), segq_index,
+                             memory_space=pltpu.VMEM),   # segq (1,Tq)
             ],
             out_specs=[
-                pl.BlockSpec((hb, block_k, D),
-                             lambda g, j, ii, *_: (g, j, 0),
+                pl.BlockSpec((hb, D, block_k),
+                             lambda g, j, ii, *_: (g, 0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((hb, block_k, D),
-                             lambda g, j, ii, *_: (g, j, 0),
+                pl.BlockSpec((hb, D, block_k),
+                             lambda g, j, ii, *_: (g, 0, j),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((hb, block_k, D), jnp.float32),
-                pltpu.VMEM((hb, block_k, D), jnp.float32),
+                pltpu.VMEM((hb, D, block_k), jnp.float32),
+                pltpu.VMEM((hb, D, block_k), jnp.float32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((H, D, Tk), dtype),
+            jax.ShapeDtypeStruct((H, D, Tk), dtype),
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
-    )(qstart, qend, k, v, segT, q, do, lse, delta, seg2d)
+    )(qstart, qend, kT, vT, segk_col, qT, doT, lse, delta, segq_row)
 
-    return dq, dk, dv
+    return dqT, dkT, dvT
 
 
 # ---------------------------------------------------------------------------
@@ -469,33 +480,42 @@ def _flash_fwd_vjp(q, k, v, seg_q, seg_k, block_q, block_k, max_seqlen,
     H, Tq, D = q.shape
     Tk = k.shape[1]
     scale = 1.0 / math.sqrt(D)
-    seg2d = seg_q.reshape(Tq, 1)
-    segT = seg_k.reshape(1, Tk)
+    segq_row = seg_q.reshape(1, Tq)
+    segk_col = seg_k.reshape(Tk, 1)
     kstart, kend, _, _ = block_spans(seg_q, block_q, block_k, seg_k)
     max_span = _span_cap(Tk, block_q, block_k, max_seqlen)
     hb = _head_block(H, block_q, block_k, _FWD_SCORE_BUDGET)
-    o, lse = _fwd(q, k, v, seg2d, segT, kstart, kend, block_q=block_q,
-                  block_k=block_k, head_block=hb, max_span=max_span,
-                  scale=scale, interpret=interpret)
-    return o, (q, k, v, seg_q, seg_k, o, lse)
+    qT = jnp.swapaxes(q, 1, 2)
+    kT = jnp.swapaxes(k, 1, 2)
+    vT = jnp.swapaxes(v, 1, 2)
+    oT, lse = _fwd(qT, kT, vT, segq_row, segk_col, kstart, kend,
+                   block_q=block_q, block_k=block_k, head_block=hb,
+                   max_span=max_span, scale=scale, interpret=interpret)
+    o = jnp.swapaxes(oT, 1, 2)
+    return o, (qT, kT, vT, seg_q, seg_k, oT, lse)
 
 
 def _flash_bwd_vjp(block_q, block_k, max_seqlen, interpret, res, do):
-    q, k, v, seg_q, seg_k, o, lse = res
-    Tq = q.shape[1]
-    Tk = k.shape[1]
-    scale = 1.0 / math.sqrt(q.shape[2])
-    seg2d = seg_q.reshape(Tq, 1)
-    segT = seg_k.reshape(1, Tk)
+    qT, kT, vT, seg_q, seg_k, oT, lse = res
+    H, D, Tq = qT.shape
+    Tk = kT.shape[2]
+    scale = 1.0 / math.sqrt(D)
+    segq_row = seg_q.reshape(1, Tq)
+    segk_col = seg_k.reshape(Tk, 1)
     kstart, kend, qstart, qend = block_spans(seg_q, block_q, block_k,
                                              seg_k)
-    dq, dk, dv = _bwd(
-        q, k, v, seg2d, segT, o, lse, do, kstart, kend, qstart, qend,
+    doT = jnp.swapaxes(do, 1, 2)
+    delta = jnp.sum(doT.astype(jnp.float32) * oT.astype(jnp.float32),
+                    axis=1, keepdims=True)           # (H, 1, Tq)
+    dqT, dkT, dvT = _bwd(
+        qT, kT, vT, segq_row, segk_col, lse, delta, doT,
+        kstart, kend, qstart, qend,
         block_q=block_q, block_k=block_k,
         max_span_q=_span_cap(Tq, block_k, block_q, max_seqlen),
         max_span_k=_span_cap(Tk, block_q, block_k, max_seqlen),
         scale=scale, interpret=interpret)
-    return dq, dk, dv, None, None
+    return (jnp.swapaxes(dqT, 1, 2), jnp.swapaxes(dkT, 1, 2),
+            jnp.swapaxes(dvT, 1, 2), None, None)
 
 
 _flash_core.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
@@ -517,10 +537,10 @@ def flash_segment_attention(q, k, v, seg_ids, *,
     still mask-correct, just more skipped grid steps).
 
     ``layout='thd'`` takes/returns ``(T, H, D)`` (transposing
-    internally); ``layout='htd'`` takes/returns the kernel-native
-    ``(H, T, D)`` — use it when the caller already produces head-major
-    tensors (the :mod:`esme_tpu.ops.headsplit` fused path) to skip the
-    relayout entirely.
+    internally); ``layout='htd'`` takes/returns ``(H, T, D)``.
+    The kernels themselves run fully token-minor ``(H, D, T)``; the
+    fused model path (esme_tpu.ops.fused_attn) produces that layout
+    directly and skips these transposes.
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'

@@ -15,6 +15,11 @@ projections (dense lane dim, zero padding) plus the merged output and
 fp32 LSE, and recomputes the bandwidth-only split+rotary relayout in
 backward (~1ms/layer vs ~100MB/layer saved).
 
+The flash kernels stream k/v (and, in backward, q/do) as token-minor
+``(H, D, T)`` arrays — the layout that reaches full HBM bandwidth
+(ops/flash.py docstring) — so the split kernels emit that layout
+directly; no XLA transpose ever materializes.
+
 Requires T to be a multiple of the flash alignment (the model forward
 pre-pads once per call, models/esm.py).
 """
@@ -23,36 +28,15 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 
 from .flash import (_FWD_SCORE_BUDGET, _bwd, _fwd, _head_block, _span_cap,
                     block_spans)
-from .headsplit import _merge_call, _pick_bt, _pick_interpret, _split_call
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-
-def _split_one_call(x2, H, interpret):
-    """(T, H·D) -> (H, T, D) relayout without rotation."""
-    from .headsplit import _split_one_kernel
-    T, HD = x2.shape
-    D = HD // H
-    bt = _pick_bt(T, HD, x2.dtype.itemsize, buffers=4)
-    assert T % bt == 0
-    return pl.pallas_call(
-        functools.partial(_split_one_kernel, H=H, D=D),
-        grid=(T // bt,),
-        in_specs=[pl.BlockSpec((bt, HD), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((H, bt, D), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, T, D), x2.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=('arbitrary',)),
-        interpret=interpret,
-    )(x2)
+from .headsplit import (_merge_call, _merge_call_t, _pick_interpret,
+                        _split_call_t, _split_one_call_t)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
@@ -77,37 +61,42 @@ def fused_rotary_flash(q2, k2, v2, cos, sin, seg_ids, num_heads: int,
 
 def _run_fwd(q2, k2, v2, cos, sin, seg_ids, H, block_q, block_k,
              max_seqlen, interpret):
-    import os
     T = q2.shape[0]
     D = q2.shape[1] // H
-    seg2d = seg_ids.reshape(T, 1)
-    segT = seg_ids.reshape(1, T)
+    segq_row = seg_ids.reshape(1, T)
+    segk_col = seg_ids.reshape(T, 1)
     if os.environ.get('ESME_FLASH_IMPL') == 'v2' and not interpret:
-        # dynamic-span inner pipeline (ops/flash_v2.py): DMA traffic
-        # drops to the actual block-diagonal coverage
+        # round-3 experiment (ops/flash_v2.py): dynamic-span inner
+        # emit_pipeline. Kept for A/B only — the on-chip measurement
+        # (results/flash_ab_v2.txt) showed its win over the old
+        # head-minor v1 was marginal (13.1 -> 12.0 ms/layer) because
+        # the binding resource was DMA *bandwidth* (layout), not
+        # wasted tiles; the token-minor static-span kernel below beats
+        # both.
         from .flash_v2 import fwd_v2
-        from .headsplit import _split_call_t
-        bk = int(os.environ.get('ESME_V2_BK', block_k))
+        bk = int(os.environ.get('ESME_V2_BK', max(block_k, 1024)))
         hb = int(os.environ.get('ESME_V2_HB', 4))
         while H % hb:
             hb -= 1
         vmem = int(os.environ.get('ESME_V2_VMEM_MB', 100)) * 1024 * 1024
         qh, kT, vT = _split_call_t(q2, k2, v2, cos, sin, H, interpret)
         kstart, kend, _, _ = block_spans(seg_ids, block_q, bk)
-        o, lse = fwd_v2(qh, kT, vT, seg2d, segT, kstart, kend,
-                        block_q=block_q, block_k=bk, head_block=hb,
-                        scale=1.0 / math.sqrt(D), interpret=interpret,
-                        vmem_limit=vmem)
+        o, lse3 = fwd_v2(qh, kT, vT, segk_col, segq_row.reshape(1, T),
+                         kstart, kend,
+                         block_q=block_q, block_k=bk, head_block=hb,
+                         scale=1.0 / math.sqrt(D), interpret=interpret,
+                         vmem_limit=vmem)
         o_m = _merge_call(o, None, None, False, False, interpret)
-        return o_m, lse
-    qh, kh, vh = _split_call(q2, k2, v2, cos, sin, H, False, interpret)
+        return o_m, jnp.swapaxes(lse3, 1, 2)
+    qT, kT, vT = _split_call_t(q2, k2, v2, cos, sin, H, interpret,
+                               q_minor=True)
     kstart, kend, _, _ = block_spans(seg_ids, block_q, block_k)
     hb = _head_block(H, block_q, block_k, _FWD_SCORE_BUDGET)
-    o, lse = _fwd(qh, kh, vh, seg2d, segT, kstart, kend,
-                  block_q=block_q, block_k=block_k, head_block=hb,
-                  max_span=_span_cap(T, block_q, block_k, max_seqlen),
-                  scale=1.0 / math.sqrt(D), interpret=interpret)
-    o_m = _merge_call(o, None, None, False, False, interpret)
+    oT, lse = _fwd(qT, kT, vT, segq_row, segk_col, kstart, kend,
+                   block_q=block_q, block_k=block_k, head_block=hb,
+                   max_span=_span_cap(T, block_q, block_k, max_seqlen),
+                   scale=1.0 / math.sqrt(D), interpret=interpret)
+    o_m = _merge_call_t(oT, None, None, False, False, interpret)
     return o_m, lse
 
 
@@ -129,25 +118,34 @@ def _fused_bwd(H, block_q, block_k, max_seqlen, interpret, res, do_m):
     D = q2.shape[1] // H
 
     # recompute the bandwidth-only relayouts instead of saving the
-    # (H, T, 64) tensors (2x tiling waste per saved buffer)
-    qh, kh, vh = _split_call(q2, k2, v2, cos, sin, H, False, interpret)
-    oh = _split_one_call(o_m, H, interpret)
-    doh = _split_one_call(do_m.astype(o_m.dtype), H, interpret)
+    # (H, T, 64) tensors (2x tiling waste per saved buffer); all
+    # streamed operands re-emitted token-minor for the bwd kernels
+    do_m = do_m.astype(o_m.dtype)
+    qT, kT, vT = _split_call_t(q2, k2, v2, cos, sin, H, interpret,
+                               q_minor=True)
+    doT = _split_one_call_t(do_m, H, interpret)
 
-    seg2d = seg_ids.reshape(T, 1)
-    segT = seg_ids.reshape(1, T)
+    # delta = rowwise(do·o), computed in the dense (T, H·D) layout and
+    # transposed to (H, 1, T) — 4MB, XLA handles it
+    delta2 = jnp.swapaxes(
+        jnp.sum((do_m.astype(jnp.float32) * o_m.astype(jnp.float32))
+                .reshape(T, H, D), axis=-1), 0, 1)[:, None, :]
+
+    segq_row = seg_ids.reshape(1, T)
+    segk_col = seg_ids.reshape(T, 1)
     kstart, kend, qstart, qend = block_spans(seg_ids, block_q, block_k)
-    dqh, dkh, dvh = _bwd(
-        qh, kh, vh, seg2d, segT, oh, lse, doh, kstart, kend, qstart, qend,
+    dqT, dkT, dvT = _bwd(
+        qT, kT, vT, segq_row, segk_col, lse, delta2, doT,
+        kstart, kend, qstart, qend,
         block_q=block_q, block_k=block_k,
         max_span_q=_span_cap(T, block_k, block_q, max_seqlen),
         max_span_k=_span_cap(T, block_q, block_k, max_seqlen),
         scale=1.0 / math.sqrt(D), interpret=interpret)
 
     # RoPE is orthogonal: d(R x) = R^T dy = counter-rotation
-    dq2 = _merge_call(dqh, cos, sin, True, True, interpret)
-    dk2 = _merge_call(dkh, cos, sin, True, True, interpret)
-    dv2 = _merge_call(dvh, None, None, False, False, interpret)
+    dq2 = _merge_call_t(dqT, cos, sin, True, True, interpret)
+    dk2 = _merge_call_t(dkT, cos, sin, True, True, interpret)
+    dv2 = _merge_call_t(dvT, None, None, False, False, interpret)
     return dq2, dk2, dv2, None, None, None
 
 

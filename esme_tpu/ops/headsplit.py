@@ -73,29 +73,94 @@ def _split_one_kernel(x_ref, o_ref, *, H, D):
 
 
 def _split_kernel_t(q_ref, k_ref, v_ref, cos_ref, sin_ref,
-                    qo_ref, ko_ref, vo_ref, *, H, D):
+                    qo_ref, ko_ref, vo_ref, *, H, D, q_minor):
     """Like :func:`_split_kernel` but emits k/v token-minor
     ``(H, D, bt)``: the in-VMEM transpose makes the HBM layout
-    ``(H, D, T)`` whose minor dim is T — so the flash-v2 inner pipeline
-    can DMA lane-aligned ``(hb, D, bk)`` tiles straight from HBM
-    (a ``(bk, 64)`` tile of a lane-padded ``(T, 64)`` array cannot be
-    sliced; see ops/flash_v2.py)."""
+    ``(H, D, T)`` whose minor dim is T — so the flash kernels can DMA
+    contiguous ``(hb, D, bk)`` tiles straight from HBM at full
+    bandwidth (a ``(bk, 64)`` tile of a lane-padded ``(T, 64)`` array
+    is 128-byte-strided and measures ~285 GB/s vs ~700 GB/s
+    token-minor; tools/profile_attn.py). ``q_minor`` emits q
+    token-minor too (the backward kernels stream q/do)."""
     h2 = D // 2
     c = cos_ref[:, :h2]
     s = sin_ref[:, :h2]
+    # one (bt, D) -> (D, bt) transpose per head per tensor, with the
+    # rotation applied post-transpose on sublane halves: Mosaic's
+    # compile time (and the kernel itself) scales with the number of
+    # in-VMEM transposes, and the per-half form (2 transposes per
+    # tensor) hung the compiler at H=20 x 3 tensors.
+    cT = c.T                                     # (h2, bt)
+    sT = s.T
     for h in range(H):
-        lo, mid, hi = h * D, h * D + h2, (h + 1) * D
-        q1, q2 = q_ref[:, lo:mid], q_ref[:, mid:hi]
-        qo_ref[h, :, :h2] = q1 * c - q2 * s
-        qo_ref[h, :, h2:] = q2 * c + q1 * s
-        k1, k2 = k_ref[:, lo:mid], k_ref[:, mid:hi]
-        ko_ref[h, :h2, :] = (k1 * c - k2 * s).T
-        ko_ref[h, h2:, :] = (k2 * c + k1 * s).T
+        lo, hi = h * D, (h + 1) * D
+        qh = q_ref[:, lo:hi].T                   # (D, bt)
+        q1, q2 = qh[:h2, :], qh[h2:, :]
+        if q_minor:
+            qo_ref[h, :h2, :] = q1 * cT - q2 * sT
+            qo_ref[h, h2:, :] = q2 * cT + q1 * sT
+        else:
+            qo_ref[h, :, :h2] = (q_ref[:, lo:lo + h2] * c
+                                 - q_ref[:, lo + h2:hi] * s)
+            qo_ref[h, :, h2:] = (q_ref[:, lo + h2:hi] * c
+                                 + q_ref[:, lo:lo + h2] * s)
+        kh = k_ref[:, lo:hi].T
+        k1, k2 = kh[:h2, :], kh[h2:, :]
+        ko_ref[h, :h2, :] = k1 * cT - k2 * sT
+        ko_ref[h, h2:, :] = k2 * cT + k1 * sT
         vo_ref[h] = v_ref[:, lo:hi].T
 
 
-def _split_call_t(q2, k2, v2, cos, sin, H, interpret):
-    """(T, H·D) q/k/v -> q (H, T, D); k/v (H, D, T) with RoPE on q/k."""
+def _split_one_kernel_t(x_ref, o_ref, *, H, D):
+    for h in range(H):
+        o_ref[h] = x_ref[:, h * D:(h + 1) * D].T
+
+
+def _rot_one_kernel_t(x_ref, cos_ref, sin_ref, o_ref, *, H, D,
+                      inverse_rotation):
+    """(bt, H·D) -> (H, D, bt) token-minor with RoPE."""
+    h2 = D // 2
+    c = cos_ref[:, :h2]
+    s = sin_ref[:, :h2]
+    if inverse_rotation:
+        s = -s
+    cT = c.T
+    sT = s.T
+    for h in range(H):
+        lo, hi = h * D, (h + 1) * D
+        xh = x_ref[:, lo:hi].T                   # (D, bt)
+        x1, x2 = xh[:h2, :], xh[h2:, :]
+        o_ref[h, :h2, :] = x1 * cT - x2 * sT
+        o_ref[h, h2:, :] = x2 * cT + x1 * sT
+
+
+def _rot_one_call_t(x2, cos, sin, H, interpret, inverse_rotation=False):
+    T, HD = x2.shape
+    D = HD // H
+    bt = _pick_bt(T, HD, x2.dtype.itemsize, buffers=6)
+    assert T % bt == 0
+    return pl.pallas_call(
+        functools.partial(_rot_one_kernel_t, H=H, D=D,
+                          inverse_rotation=inverse_rotation),
+        grid=(T // bt,),
+        in_specs=[pl.BlockSpec((bt, HD), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((bt, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((H, D, bt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, D, T), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(x2, cos, sin)
+
+
+def _split_call_t(q2, k2, v2, cos, sin, H, interpret, q_minor=False):
+    """(T, H·D) q/k/v -> q (H, T, D) (or (H, D, T) with ``q_minor``);
+    k/v (H, D, T); RoPE applied to q/k."""
     T, HD = q2.shape
     D = HD // H
     bt = _pick_bt(T, HD, q2.dtype.itemsize, buffers=12)
@@ -106,8 +171,16 @@ def _split_call_t(q2, k2, v2, cos, sin, H, interpret):
                          memory_space=pltpu.VMEM)
     out_t = pl.BlockSpec((H, D, bt), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM)
+    if q_minor:
+        # three lighter kernels: the single combined q-minor kernel
+        # (60 in-VMEM transposes per step at H=20) hangs the Mosaic
+        # compiler; 20-transpose kernels compile in seconds
+        qT = _rot_one_call_t(q2, cos, sin, H, interpret)
+        kT = _rot_one_call_t(k2, cos, sin, H, interpret)
+        vT = _split_one_call_t(v2, H, interpret)
+        return qT, kT, vT
     return pl.pallas_call(
-        functools.partial(_split_kernel_t, H=H, D=D),
+        functools.partial(_split_kernel_t, H=H, D=D, q_minor=False),
         grid=(T // bt,),
         in_specs=[row, row, row, trig, trig],
         out_specs=[out_q, out_t, out_t],
@@ -118,6 +191,26 @@ def _split_call_t(q2, k2, v2, cos, sin, H, interpret):
             dimension_semantics=('arbitrary',)),
         interpret=interpret,
     )(q2, k2, v2, cos, sin)
+
+
+def _split_one_call_t(x2, H, interpret):
+    """(T, H·D) -> token-minor (H, D, T), no rotation."""
+    T, HD = x2.shape
+    D = HD // H
+    bt = _pick_bt(T, HD, x2.dtype.itemsize, buffers=4)
+    assert T % bt == 0
+    return pl.pallas_call(
+        functools.partial(_split_one_kernel_t, H=H, D=D),
+        grid=(T // bt,),
+        in_specs=[pl.BlockSpec((bt, HD), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((H, D, bt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, D, T), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(x2)
 
 
 def _merge_kernel(x_ref, cos_ref, sin_ref, o_ref, *, H, D, rotate,
@@ -137,6 +230,57 @@ def _merge_kernel(x_ref, cos_ref, sin_ref, o_ref, *, H, D, rotate,
         else:
             o_ref[:, lo:mid] = x1
             o_ref[:, mid:hi] = x2
+
+
+def _merge_kernel_t(x_ref, cos_ref, sin_ref, o_ref, *, H, D, rotate,
+                    inverse_rotation):
+    """Token-minor merge: (H, D, bt) -> (bt, H·D), optional
+    (counter-)rotation — the inverse of :func:`_split_kernel_t`."""
+    h2 = D // 2
+    if rotate:
+        c = cos_ref[:, :h2]
+        s = sin_ref[:, :h2]
+        if inverse_rotation:
+            s = -s
+    for h in range(H):
+        lo, mid, hi = h * D, h * D + h2, (h + 1) * D
+        xh = x_ref[h].T                          # one transpose/head
+        x1, x2 = xh[:, :h2], xh[:, h2:]
+        if rotate:
+            o_ref[:, lo:mid] = x1 * c - x2 * s
+            o_ref[:, mid:hi] = x2 * c + x1 * s
+        else:
+            o_ref[:, lo:mid] = x1
+            o_ref[:, mid:hi] = x2
+
+
+def _merge_call_t(x, cos, sin, rotate, inverse_rotation, interpret):
+    """(H, D, T) token-minor -> (T, H·D)."""
+    H, D, T = x.shape
+    bt = _pick_bt(T, H * D, x.dtype.itemsize, buffers=6)
+    assert T % bt == 0, f'T={T} must be a multiple of {bt}'
+    if cos is None:
+        cos = jnp.zeros((T, D), x.dtype)
+        sin = cos
+    return pl.pallas_call(
+        functools.partial(_merge_kernel_t, H=H, D=D, rotate=rotate,
+                          inverse_rotation=inverse_rotation),
+        grid=(T // bt,),
+        in_specs=[
+            pl.BlockSpec((H, D, bt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, H * D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, H * D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary',)),
+        interpret=interpret,
+    )(x, cos, sin)
 
 
 def _pick_interpret(interpret):

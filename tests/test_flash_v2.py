@@ -69,14 +69,19 @@ def test_fwd_v2_matches_v1_and_oracle(block_k):
                       interpret=True)
 
     ks1, ke1, _, _ = flash.block_spans(segj, bq, flash.DEFAULT_BLOCK_K)
-    o1, lse1 = flash._fwd(
-        q, k, v, seg2d, segT, ks1, ke1, block_q=bq,
+    # production kernel is fully token-minor with transposed scores
+    oT1, lse1 = flash._fwd(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+        jnp.swapaxes(v, 1, 2), segj.reshape(1, T), segj.reshape(T, 1),
+        ks1, ke1, block_q=bq,
         block_k=flash.DEFAULT_BLOCK_K, head_block=2,
         max_span=flash._span_cap(T, bq, flash.DEFAULT_BLOCK_K, None),
         scale=scale, interpret=True)
-    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+    np.testing.assert_allclose(np.asarray(o2),
+                               np.asarray(jnp.swapaxes(oT1, 1, 2)),
                                atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(lse2), np.asarray(lse1),
+    np.testing.assert_allclose(np.asarray(lse2[:, :, 0]),
+                               np.asarray(lse1[:, 0, :]),
                                atol=1e-5, rtol=1e-5)
 
     s = jnp.einsum('htd,hsd->hts', q, k) * scale

@@ -1,7 +1,13 @@
 """Isolate what bounds the segment-flash forward kernel: time variants
 with individual VPU passes removed (mask select, max reduce, exp dtype,
 exp itself). Numerics of the ablated variants are WRONG — this is a
-cost model experiment only."""
+cost model experiment only.
+
+Round-3 finding (head-minor kernel): ~12 ms at the 650M bench shape
+regardless of which compute pass was removed -> the kernel was
+DMA-bound, later confirmed and root-caused by tools/profile_attn.py
+(strided 128B rows at ~285 GB/s). Updated for the round-4 token-minor
+kernel ((H, D, T) k/v streaming)."""
 import functools
 import sys
 
@@ -38,8 +44,21 @@ def variant_kernel(kstart_ref, kend_ref, q_ref, segq_ref, k_ref, v_ref,
 
     @pl.when(jj < kend_ref[i] - kstart_ref[i])
     def _():
+        if mode == 'nothing':
+            # touch every ref so DMA happens; no real compute
+            acc_scr[:] = acc_scr[:] + (
+                q_ref[:1, :1, :1].astype(jnp.float32)
+                + k_ref[:1, :1, :1].astype(jnp.float32)
+                + v_ref[:1, :1, :1].astype(jnp.float32)
+                + segq_ref[:1, :1].astype(jnp.float32)[None]
+                + segk_ref[:1, :1].astype(jnp.float32)[None])
+            return
         qb = q_ref[:]
-        s = flash._bdot(qb, k_ref[:], ((2,), (2,))) * scale
+        if mode == 'noqk':
+            s = (acc_scr[:, :, :1] + k_ref[:, :1, :].astype(jnp.float32)
+                 )  # (hb, bq, bk) without the MXU pass
+        else:
+            s = flash._bdot(qb, k_ref[:], ((2,), (1,))) * scale
         if mode != 'nomask':
             mask = (segq_ref[:] == segk_ref[:])[None]
             s = jnp.where(mask, s, NEG_INF)
@@ -47,6 +66,22 @@ def variant_kernel(kstart_ref, kend_ref, q_ref, segq_ref, k_ref, v_ref,
             p = s * 0.5 + 0.1          # same passes, no transcendental
             m_new = m_scr[:]
             alpha = 1.0
+        elif mode == 'noalpha':
+            # keep the lane-dim max reduce; skip the rescale chain
+            m_prev = m_scr[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+            alpha = 1.0
+            p = jnp.exp(s - m_new)
+        elif mode == 'maxfree':
+            # max via per-step constant: no reduce, no rescale
+            m_new = m_scr[:]
+            alpha = 1.0
+            p = jnp.exp(s - 20.0)
+        elif mode == 'sumfree':
+            m_prev = m_scr[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
         elif mode == 'nomax':
             m_new = m_scr[:]
             alpha = 1.0
@@ -62,8 +97,14 @@ def variant_kernel(kstart_ref, kend_ref, q_ref, segq_ref, k_ref, v_ref,
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
             p = jnp.exp(s - m_new)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
-        pv = flash._bdot(p.astype(v_ref.dtype), v_ref[:], ((2,), (1,)))
+        if mode == 'sumfree':
+            l_scr[:] = l_scr[:] * alpha + p[:, :, :1]
+        else:
+            l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        if mode == 'nopv':
+            pv = p[:, :, :64] * 1.0
+        else:
+            pv = flash._bdot(p.astype(v_ref.dtype), v_ref[:], ((2,), (2,)))
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
 
@@ -75,11 +116,11 @@ def variant_kernel(kstart_ref, kend_ref, q_ref, segq_ref, k_ref, v_ref,
         lse_ref[:] = m_scr[:] + jnp.log(l_safe)
 
 
-def run(mode, hb=10, bq=256, bk=1024, vmem_mb=100):
+def run(mode, hb=20, bq=256, bk=256, vmem_mb=100):
     q, k, v, seg, max_len, sol = make_inputs()
     qh = jnp.swapaxes(q, 0, 1)
-    kh = jnp.swapaxes(k, 0, 1)
-    vh = jnp.swapaxes(v, 0, 1)
+    kh = jnp.transpose(k, (1, 2, 0))      # (H, D, T) token-minor
+    vh = jnp.transpose(v, (1, 2, 0))
     T = qh.shape[1]
     seg2d = seg.reshape(T, 1)
     segT = seg.reshape(1, T)
@@ -107,5 +148,5 @@ def run(mode, hb=10, bq=256, bk=1024, vmem_mb=100):
 
 
 if __name__ == '__main__':
-    for mode in ('baseline', 'nomask', 'bf16exp', 'nomax', 'noexp'):
+    for mode in ('baseline', 'noalpha', 'maxfree', 'sumfree', 'nomax'):
         run(mode)
