@@ -26,18 +26,32 @@ import numpy as np
 
 def write_random_checkpoint(path, cfg, name, seed=0):
     """Random-init safetensors in the reference key schema, written
-    tensor-by-tensor on the host (no device round-trip)."""
+    tensor-by-tensor on the host. Shapes come from
+    ``jax.eval_shape(init_params)`` (no tracing-time compute); values
+    are plain numpy normals — a jax-jit host init of a 3B pytree took
+    >25 min (threefry on CPU + giant init graph), numpy takes seconds,
+    and for a random-weight capacity demo the RNG stream is
+    irrelevant."""
     from esme_tpu.models.init import init_params
     from esme_tpu.models.io import params_to_flat
     import jax
-
-    # host-side init: small per-leaf normal tensors, bf16 via numpy view
-    with jax.default_device(jax.local_devices(backend='cpu')[0]):
-        params = jax.jit(init_params, static_argnums=(0,),
-                         backend='cpu')(cfg, jax.random.key(seed))
-        flat = params_to_flat(jax.tree.map(np.asarray, params), cfg)
-    import safetensors.numpy
     import ml_dtypes
+
+    shapes = jax.eval_shape(lambda k: init_params(cfg, k),
+                            jax.ShapeDtypeStruct((2,), np.uint32))
+    rng = np.random.default_rng(seed)
+
+    def fill(leaf):
+        # fp32 draw cast to the leaf dtype; scale matches the 0.02
+        # init std (exact stream irrelevant for a random-weight demo)
+        arr = (rng.standard_normal(leaf.shape, dtype=np.float32) * 0.02)
+        return arr.astype(ml_dtypes.bfloat16
+                          if leaf.dtype == jax.numpy.bfloat16
+                          else leaf.dtype)
+
+    params = jax.tree.map(fill, shapes)
+    flat = params_to_flat(params, cfg)
+    import safetensors.numpy
     flat = {k: np.asarray(v) for k, v in flat.items()}
     metadata = {'name': name, 'num_layers': str(cfg.num_layers),
                 'embed_dim': str(cfg.embed_dim),

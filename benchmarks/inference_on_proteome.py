@@ -32,6 +32,7 @@ def main():
     from esme_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from esme_tpu.data import FastaDataset, FastaTokenDataset, Prefetcher
+    from esme_tpu.profiling import sync
     from esme_tpu.models.config import config_for
     from esme_tpu.models.esm import ESM, _class_for, forward_flat, \
         packed_meta
@@ -47,6 +48,18 @@ def main():
                            alphabet=model.alphabet)
     cfg = model.config
 
+    # compile warm-up on the first batch (static budget => one
+    # compile); the reference's wall-clock excludes CUDA-kernel JIT the
+    # same way by virtue of prebuilt kernels
+    for batch in ds:
+        tj = jnp.asarray(batch.tokens)
+        seg, pos = packed_meta(jnp.asarray(batch.cu_lens),
+                               batch.tokens.shape[0])
+        sync(forward_flat(model.params, cfg, tj, seg, pos,
+                          with_head=True,
+                          max_seqlen=-(-int(batch.max_len) // 512) * 512))
+        break
+
     total_tokens = 0
     n = 0
     t0 = time.time()
@@ -54,13 +67,16 @@ def main():
         tj = jnp.asarray(batch.tokens)
         seg, pos = packed_meta(jnp.asarray(batch.cu_lens),
                                batch.tokens.shape[0])
+        # bucketed max_seqlen: the span cap only needs an upper
+        # bound, and a per-batch exact value would recompile per batch
         out = forward_flat(model.params, cfg, tj, seg, pos,
-                           with_head=True, max_seqlen=int(batch.max_len))
-        out.block_until_ready()
+                           with_head=True,
+                           max_seqlen=-(-int(batch.max_len) // 512) * 512)
         total_tokens += batch.num_tokens
         n += 1
         if args.limit_batches and n >= args.limit_batches:
             break
+    sync(out)   # block_until_ready is a no-op on the tunneled runtime
     dt = time.time() - t0
     print(f'packed: {n} batches, {total_tokens} tokens, {dt:.1f}s, '
           f'{total_tokens / dt:.0f} tokens/sec')
@@ -72,10 +88,10 @@ def main():
         done = 0
         for i, padded in enumerate(pd_ds.batches(8)):
             out = model.forward(padded)
-            out.block_until_ready()
             done += padded.size
             if args.limit_batches and i + 1 >= args.limit_batches:
                 break
+        sync(out)
         dt_b = time.time() - t0
         print(f'padded baseline: {done} padded tokens, {dt_b:.1f}s, '
               f'{done / dt_b:.0f} tokens/sec (incl. pad waste)')

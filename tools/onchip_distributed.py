@@ -1,0 +1,83 @@
+"""On-chip distributed smoke (VERDICT r3 weak #5): run the sharded
+training step and the context-parallel forward on the REAL TPU through
+a 1-device mesh — proving shard_map + the FSDP gather hooks + the rect
+flash kernel compile and match single-device numerics on hardware
+(the CPU virtual-mesh tests can't exercise the Mosaic-compiled
+kernels). Appends a results row."""
+import sys
+
+sys.path.insert(0, '/root/repo')
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from esme_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    from esme_tpu.alphabet import Alphabet, mask_tokens
+    from esme_tpu.data import PackedBatch
+    from esme_tpu.models.esm import ESM2
+    from esme_tpu.parallel.context import context_parallel_log_prob
+    from esme_tpu.parallel.mesh import make_mesh
+    from esme_tpu.train.distributed import ShardedMaskedPLM
+    from esme_tpu.train.trainer import MaskedPLM
+
+    assert jax.default_backend() == 'tpu', jax.default_backend()
+
+    # small-but-real model so compiles stay minutes not tens of minutes
+    model = ESM2(num_layers=6, embed_dim=640, attention_heads=10, rng=0)
+
+    rng = np.random.default_rng(0)
+    budget = 8192
+    lens, tot = [], 0
+    while tot + 258 <= budget - 256:
+        lens.append(258)
+        tot += 258
+    cu = np.cumsum([0, *lens]).astype(np.int32)
+    toks = np.full(budget, Alphabet.padding_idx, np.int32)
+    toks[:cu[-1]] = rng.integers(4, 24, cu[-1])
+    masked, mask = mask_tokens(toks[:cu[-1]], alphabet=Alphabet,
+                               rng=np.random.default_rng(1))
+    pad = budget - cu[-1]
+    batch = PackedBatch(
+        tokens=toks, cu_lens=cu, max_len=258,
+        masked_tokens=np.pad(masked, (0, pad),
+                             constant_values=Alphabet.padding_idx),
+        mask=np.pad(mask, (0, pad), constant_values=False))
+
+    # single-device oracle
+    plm = MaskedPLM(model, learning_rate=1e-4)
+    loss_single = float(plm.training_step(batch))
+
+    # sharded step on a (data=1, fsdp=1) mesh — same math through
+    # shard_map + gather hooks + psum
+    mesh = make_mesh(data=1, fsdp=1)
+    model2 = ESM2(num_layers=6, embed_dim=640, attention_heads=10, rng=0)
+    splm = ShardedMaskedPLM(model2, mesh, learning_rate=1e-4)
+    loss_sharded = float(splm.training_step([batch]))
+
+    # context-parallel forward (seq=1 mesh) vs plain forward
+    seq_mesh = make_mesh(data=1, fsdp=1, seq=1)
+    lp_cp = context_parallel_log_prob(
+        model, jnp.asarray(toks), (jnp.asarray(cu), 258), seq_mesh)
+    lp = model.predict_log_prob(jnp.asarray(toks),
+                                pad_args=(jnp.asarray(cu), 258))
+    cp_err = float(np.max(np.abs(
+        np.asarray(lp_cp[:cu[-1]], np.float32)
+        - np.asarray(lp[:cu[-1]], np.float32))))
+
+    d = abs(loss_sharded - loss_single)
+    ok = d < 5e-3 and cp_err < 0.1
+    print('check,loss_single,loss_sharded,abs_diff,cp_max_abs_err,'
+          'backend,pass')
+    print(f'onchip_1dev_mesh,{loss_single:.5f},{loss_sharded:.5f},'
+          f'{d:.2e},{cp_err:.2e},{jax.default_backend()},{ok}',
+          flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == '__main__':
+    main()
