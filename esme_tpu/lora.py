@@ -200,9 +200,9 @@ def trainable_mask(params: dict, lora_only=None,
         keys = [getattr(p, 'key', None) for p in path]
         if not jnp.issubdtype(leaf.dtype, jnp.floating):
             return False      # int8/NF4 quantized storage
-        if keys[-1] == 'scale' and len(keys) >= 2 \
+        if keys[-1] in ('scale', 'outlier_rows') and len(keys) >= 2 \
                 and keys[-2] in _linears:
-            return False      # quantization scales, never trained
+            return False      # quantization storage, never trained
         if 'scale' in keys and 'lora' in keys:
             return False      # adapter metadata, never trained
         if not lora_only:

@@ -104,6 +104,9 @@ def params_to_flat(params: dict, cfg: ESMConfig) -> Dict[str, np.ndarray]:
             # save quantized models at all — bitsandbytes limitation)
             flat[f'{prefix}.qweight'] = p['qvalue']
             flat[f'{prefix}.qscale'] = p['scale']
+            if 'outlier_idx' in p:
+                flat[f'{prefix}.qoutlier_idx'] = p['outlier_idx']
+                flat[f'{prefix}.qoutlier_rows'] = p['outlier_rows']
         else:
             flat[f'{prefix}.weight'] = np.ascontiguousarray(
                 np.swapaxes(p['kernel'], -1, -2))
@@ -178,6 +181,11 @@ def flat_to_params(flat, cfg: ESMConfig, quantization: Optional[str] = None
             # pre-quantized checkpoint (our schema extension)
             p = {'qvalue': np.asarray(flat[f'{prefix}.qweight']),
                  'scale': np.asarray(flat[f'{prefix}.qscale'])}
+            if f'{prefix}.qoutlier_idx' in flat:
+                p['outlier_idx'] = np.asarray(
+                    flat[f'{prefix}.qoutlier_idx'])
+                p['outlier_rows'] = np.asarray(
+                    flat[f'{prefix}.qoutlier_rows']).astype(dt)
         elif quant is not None:
             kernel = np.swapaxes(
                 np.asarray(flat[f'{prefix}.weight']).astype(np.float32),

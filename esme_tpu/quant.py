@@ -11,7 +11,17 @@ scheme instead of two:
   ``(out, in)`` torch weight (reference: esme/quantization.py:20-26).
 * **4bit**: NF4 (normal-float) codebook with blockwise absmax along
   the input dim, two nibbles packed per byte — the layout family of
-  bitsandbytes ``Linear4bit``.
+  bitsandbytes ``Linear4bit`` — plus **outlier-row decomposition**
+  beyond the reference: the ``_NF4_OUTLIER_ROWS`` largest-absmax input
+  rows of each kernel are stored exactly in the source dtype and
+  scattered back at dequant time. Trained transformers concentrate
+  large weights in a few feature rows (the LLM.int8 phenomenon the
+  reference handles only for int8, esme/quantization.py:37-84); one
+  poisoned row inflates every 64-block absmax it touches, and the
+  measured NF4 cos_min in a synthetic 20x-outlier regime was 0.985
+  (below the 0.99 contract) without decomposition vs ~0.997 with it
+  (results/quant_accuracy__esm2_650m.csv). Fixed K keeps every leaf
+  shape static across the stacked layer scan.
 
 Dequantization happens at matmul time inside the jit; under the
 layer-``scan`` only ONE layer's weights are ever materialized in bf16
@@ -42,6 +52,10 @@ NF4_CODE = np.array([
 ], dtype=np.float32)
 _NF4_BOUNDARIES = (NF4_CODE[1:] + NF4_CODE[:-1]) / 2
 
+# Input rows kept exact per kernel in the 4-bit scheme (see module
+# docstring). 16 rows x d_out bf16 is ~0.1% of a 650M layer.
+_NF4_OUTLIER_ROWS = 16
+
 
 def quantize_int8(kernel: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Per-output-channel absmax int8 over ``(..., in, out)`` kernels."""
@@ -63,23 +77,43 @@ def quantize_int8_np(kernel: np.ndarray) -> Dict[str, np.ndarray]:
     return {'qvalue': q, 'scale': scale.astype(np.float32)}
 
 
+def _outlier_rows_np(w, k):
+    """Indices of the ``k`` largest-absmax input rows, per lead slice.
+    w: (*lead, d_in, d_out) fp32. Returns idx (*lead, k) int32 and the
+    exact rows (*lead, k, d_out)."""
+    row_absmax = np.abs(w).max(axis=-1)                # (*lead, d_in)
+    idx = np.argsort(-row_absmax, axis=-1)[..., :k].astype(np.int32)
+    rows = np.take_along_axis(w, idx[..., None], axis=-2)
+    return idx, rows
+
+
 def quantize_nf4_np(kernel: np.ndarray, block: int = 64
                     ) -> Dict[str, np.ndarray]:
     """Host (numpy) twin of :func:`quantize_nf4`, bit-identical output."""
     *lead, d_in, d_out = kernel.shape
     assert d_in % block == 0, f'in dim {d_in} not divisible by {block}'
-    w = np.asarray(kernel, np.float32).reshape(
-        *lead, d_in // block, block, d_out)
-    absmax = np.abs(w).max(axis=-2, keepdims=True)
+    w = np.asarray(kernel, np.float32)
+    k = min(_NF4_OUTLIER_ROWS, d_in)
+    oidx, orows = _outlier_rows_np(w, k)
+    # zero the outlier rows before quantizing so they don't poison the
+    # blockwise absmax scales; dequant scatters the exact rows back
+    wq = w.copy()
+    np.put_along_axis(wq, oidx[..., None],
+                      np.zeros_like(orows), axis=-2)
+    wq = wq.reshape(*lead, d_in // block, block, d_out)
+    absmax = np.abs(wq).max(axis=-2, keepdims=True)
     absmax[absmax == 0] = 1.0
-    idx = np.searchsorted(_NF4_BOUNDARIES, w / absmax,
+    idx = np.searchsorted(_NF4_BOUNDARIES, wq / absmax,
                           side='left').astype(np.uint8)
     idx = idx.reshape(*lead, d_in // block, block // 2, 2, d_out)
     packed = (idx[..., 0, :] | (idx[..., 1, :] << 4)).astype(np.uint8)
+    dt = kernel.dtype if kernel.dtype.kind == 'f' else np.float32
     return {
         'qvalue': packed.reshape(*lead, d_in // 2, d_out),
         'scale': absmax.reshape(*lead, d_in // block, 1,
                                 d_out).astype(np.float32),
+        'outlier_idx': oidx,
+        'outlier_rows': orows.astype(dt),
     }
 
 
@@ -91,13 +125,25 @@ def quantize_kernel_np(kernel: np.ndarray, mode: str) -> Dict[str, np.ndarray]:
 
 def quantize_nf4(kernel: jnp.ndarray, block: int = 64
                  ) -> Dict[str, jnp.ndarray]:
-    """Blockwise NF4 over the input dim of ``(..., in, out)`` kernels."""
+    """Blockwise NF4 over the input dim of ``(..., in, out)`` kernels,
+    with the top-``_NF4_OUTLIER_ROWS`` input rows kept exact (see
+    module docstring)."""
     *lead, d_in, d_out = kernel.shape
     assert d_in % block == 0, f'in dim {d_in} not divisible by {block}'
-    w = kernel.astype(jnp.float32).reshape(*lead, d_in // block, block, d_out)
-    absmax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+    w = kernel.astype(jnp.float32)
+    k = min(_NF4_OUTLIER_ROWS, d_in)
+    row_absmax = jnp.max(jnp.abs(w), axis=-1)          # (*lead, d_in)
+    _, oidx = jax.lax.top_k(row_absmax, k)
+    oidx = oidx.astype(jnp.int32)
+    orows = jnp.take_along_axis(w, oidx[..., None], axis=-2)
+    keep = jnp.ones(w.shape[:-1], bool)
+    keep = jnp.put_along_axis(keep, oidx, False, axis=-1,
+                              inplace=False)
+    w0 = jnp.where(keep[..., None], w, 0.0)
+    w0 = w0.reshape(*lead, d_in // block, block, d_out)
+    absmax = jnp.max(jnp.abs(w0), axis=-2, keepdims=True)
     absmax = jnp.where(absmax == 0, 1.0, absmax)
-    normed = w / absmax
+    normed = w0 / absmax
     idx = jnp.searchsorted(jnp.asarray(_NF4_BOUNDARIES),
                            normed, side='left').astype(jnp.uint8)
     # pack two nibbles per byte along the block dim
@@ -106,6 +152,8 @@ def quantize_nf4(kernel: jnp.ndarray, block: int = 64
     return {
         'qvalue': packed.reshape(*lead, d_in // 2, d_out),
         'scale': absmax.reshape(*lead, d_in // block, 1, d_out),
+        'outlier_idx': oidx,
+        'outlier_rows': orows.astype(kernel.dtype),
     }
 
 
@@ -143,7 +191,19 @@ def dequantize(params: Dict[str, jnp.ndarray],
         idx = jnp.stack([lo, hi], axis=-2)      # (..., half_in, 2, out)
         idx = idx.reshape(*lead, nblocks, block, d_out)
         w = _nf4_decode(idx) * scale
-        return w.reshape(*lead, half_in * 2, d_out).astype(dtype)
+        w = w.reshape(*lead, half_in * 2, d_out)
+        if 'outlier_idx' in params:
+            # scatter the exactly-stored outlier rows back (their
+            # quantized slots were zeroed at quantize time)
+            oidx = params['outlier_idx']
+            orows = params['outlier_rows'].astype(w.dtype)
+            if oidx.ndim == 1:
+                w = w.at[oidx].set(orows)
+            else:
+                idx_full = jnp.broadcast_to(oidx[..., None], orows.shape)
+                w = jnp.put_along_axis(w, idx_full, orows,
+                                       axis=-2, inplace=False)
+        return w.astype(dtype)
     raise ValueError(f'unknown quant dtype {params["qvalue"].dtype}')
 
 
@@ -153,6 +213,10 @@ def quantized_matmul(x: jnp.ndarray,
     layer scan only one layer's dense kernel is live at a time."""
     w = dequantize(params, dtype=x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+NON_TRAINABLE_QUANT_LEAVES = ('qvalue', 'scale', 'outlier_idx',
+                              'outlier_rows')
 
 
 def quantize_params(linear_params: dict, mode: str) -> dict:

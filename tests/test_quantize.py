@@ -138,3 +138,45 @@ def test_quantized_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(m.predict_log_prob(tok, pad_args=(cu, ml))),
         np.asarray(loaded.predict_log_prob(tok, pad_args=(cu, ml))))
+
+
+def test_nf4_outlier_rows_exact():
+    """NF4 outlier-row decomposition: the top-absmax input rows are
+    stored exactly and scattered back at dequant; without them a
+    single 20x row poisons every 64-block scale it touches (measured
+    cos_min 0.985 < 0.99 at 650M, results/quant_accuracy CSV)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from esme_tpu.quant import (dequantize, quantize_nf4,
+                                quantize_nf4_np)
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((128, 64)).astype(np.float32) * 0.02
+    hot = rng.choice(128, size=8, replace=False)
+    w[hot] *= 20.0
+
+    for q in (quantize_nf4_np(w), quantize_nf4(jnp.asarray(w))):
+        q = {k: jnp.asarray(v) for k, v in q.items()}
+        deq = np.asarray(dequantize(q, dtype=jnp.float32))
+        # outlier rows come back exactly
+        np.testing.assert_allclose(deq[hot], w[hot], rtol=0, atol=0)
+        # the rest at normal NF4 error (~5% of blockwise absmax)
+        err = np.abs(deq - w).max()
+        assert err < 0.01, err
+
+
+def test_nf4_outlier_stacked_roundtrip():
+    """Stacked (L, in, out) kernels round-trip through save/load flat
+    schema with the outlier leaves."""
+    import numpy as np
+    import jax.numpy as jnp
+    from esme_tpu.quant import dequantize, quantize_nf4_np
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((3, 128, 64)).astype(np.float32) * 0.02
+    w[1, 5] *= 30.0
+    q = quantize_nf4_np(w)
+    deq = np.asarray(dequantize({k: jnp.asarray(v) for k, v in q.items()},
+                                dtype=jnp.float32))
+    np.testing.assert_allclose(deq[1, 5], w[1, 5], rtol=0, atol=0)
+    assert np.abs(deq - w).max() < 0.01

@@ -60,7 +60,8 @@ def main():
     loss_sharded = float(splm.training_step([batch]))
 
     # context-parallel forward (seq=1 mesh) vs plain forward
-    seq_mesh = make_mesh(data=1, fsdp=1, seq=1)
+    from jax.sharding import Mesh
+    seq_mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ('seq',))
     lp_cp = context_parallel_log_prob(
         model, jnp.asarray(toks), (jnp.asarray(cu), 258), seq_mesh)
     lp = model.predict_log_prob(jnp.asarray(toks),
