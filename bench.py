@@ -74,13 +74,16 @@ def main():
     seg_ids, pos_ids = packed_meta(jnp.asarray(cu), token_budget)
 
     impl = 'flash' if on_tpu else 'reference'
+    from esme_tpu.ops.flash import host_num_jobs_from_cu
+    num_jobs = host_num_jobs_from_cu(cu, token_budget) if on_tpu else None
 
     # NB params must flow as ARGUMENTS (forward_flat is itself jitted);
     # closing over them in an outer jit would inline 1.3GB of weights
     # as module constants and blow up compilation
     def packed_fn(t, s, p):
         return forward_flat(model.params, cfg, t, s, p, with_head=True,
-                            attn_impl=impl, max_seqlen=max_len)
+                            attn_impl=impl, max_seqlen=max_len,
+                            num_jobs=num_jobs)
 
     # profiling.benchmark drains the queue with a real host transfer:
     # block_until_ready is a no-op on the tunneled runtime

@@ -59,7 +59,7 @@ def _embed_flat(params, cfg: ESMConfig, tokens, pos_ids):
 @partial(jax.jit, static_argnames=(
     'cfg', 'with_head', 'log_prob', 'lora_names', 'attn_impl',
     'checkpointing', 'collect_layers', 'max_seqlen', 'layer_gather',
-    'outer_gather', 'lora_dropout', 'kv_gather'))
+    'outer_gather', 'lora_dropout', 'kv_gather', 'num_jobs'))
 def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                  with_head: bool = True, log_prob: bool = False,
                  lora_names: Optional[Tuple[str, ...]] = None,
@@ -68,7 +68,7 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                  max_seqlen: Optional[int] = None,
                  layer_gather=None, outer_gather=None,
                  lora_dropout: float = 0.0, dropout_rng=None,
-                 kv_gather=None):
+                 kv_gather=None, num_jobs=None):
     """Trunk (+ optional LM head) over flat tokens with explicit
     segment/position metadata. Returns ``(T, C)``.
 
@@ -112,7 +112,8 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                           collect_layers=collect_layers,
                           max_seqlen=max_seqlen, gather_fn=layer_gather,
                           rope=rope, lora_dropout=lora_dropout,
-                          dropout_rng=dropout_rng, kv_gather=kv_gather)
+                          dropout_rng=dropout_rng, kv_gather=kv_gather,
+                          num_jobs=num_jobs)
     x = apply_norm(x, params['emb_norm_after'])
 
     if t_pad and attn_impl != 'reference':
@@ -265,13 +266,19 @@ class _ESMBase:
             assert tokens.ndim == 1, \
                 'tokens must be flat (batch*seq_len) when pad_args given'
             cu_lens, max_len = pad_args
+            # dynamic-span job budget (host knows cu_lens); bucketed so
+            # similar batches share a compile (ops/flash.py job mode)
+            from ..ops.flash import host_num_jobs_from_cu
+            num_jobs = host_num_jobs_from_cu(np.asarray(cu_lens),
+                                             int(tokens.shape[0]))
             cu_lens = jnp.asarray(cu_lens, jnp.int32)
             seg_ids, pos_ids = packed_meta(cu_lens, tokens.shape[0])
             x = self._flat_call(tokens, seg_ids, pos_ids,
                                 with_head=with_head, log_prob=log_prob,
                                 lora_names=lora_names, attn_impl=attn_impl,
                                 collect_layers=collect,
-                                max_seqlen=int(max_len))
+                                max_seqlen=int(max_len),
+                                num_jobs=num_jobs)
             if pad_output:
                 fill = _pad_head_row(self.params, self.config, log_prob) \
                     if with_head else None

@@ -122,7 +122,7 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
                     max_seqlen: Optional[int] = None,
                     rope: Optional[tuple] = None,
                     lora_dropout: float = 0.0, dropout_rng=None,
-                    kv_gather=None):
+                    kv_gather=None, num_jobs: Optional[int] = None):
     """Multi-head self-attention over the packed layout
     (reference: esme/attention.py:91-139).
 
@@ -200,7 +200,7 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
             from ..ops.fused_attn import fused_rotary_flash
             o_m = fused_rotary_flash(q, k, v, cos, sin, seg_ids, H,
                                      DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
-                                     max_seqlen, None)
+                                     max_seqlen, None, num_jobs)
             return linear(o_m, params['out'], lora_names,
                           lora_dropout, rngs[3])
         qh, kh, vh = split_heads_rotary(q, k, v, cos, sin, H)
@@ -248,14 +248,14 @@ def transformer_layer(x, params, cfg, seg_ids, pos_ids,
                       max_seqlen: Optional[int] = None,
                       rope: Optional[tuple] = None,
                       lora_dropout: float = 0.0, dropout_rng=None,
-                      kv_gather=None):
+                      kv_gather=None, num_jobs: Optional[int] = None):
     """Pre-norm residual block with residue scaling
     (reference: esme/attention.py:241-255)."""
     inv_scale = 1.0 / cfg.residue_scaling
     x = x + attention_block(x, params['attn'], cfg, seg_ids, pos_ids,
                             lora_names, attn_impl, max_seqlen, rope,
                             lora_dropout, dropout_rng,
-                            kv_gather) * inv_scale
+                            kv_gather, num_jobs) * inv_scale
     x = x + mlp_block(x, params['mlp'], cfg) * inv_scale
     return x
 
@@ -266,7 +266,7 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
                 max_seqlen: Optional[int] = None, gather_fn=None,
                 rope: Optional[tuple] = None,
                 lora_dropout: float = 0.0, dropout_rng=None,
-                kv_gather=None):
+                kv_gather=None, num_jobs: Optional[int] = None):
     """Run all layers via ``lax.scan`` over stacked per-layer params.
 
     ``gather_fn`` (FSDP hook) all-gathers one layer's param shards
@@ -292,7 +292,8 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
             else jax.random.fold_in(dropout_rng, idx)
         out = transformer_layer(x, layer_params, cfg, seg_ids, pos_ids,
                                 lora_names, attn_impl, max_seqlen, rope,
-                                lora_dropout, layer_rng, kv_gather)
+                                lora_dropout, layer_rng, kv_gather,
+                                num_jobs)
         if collect_layers:
             reps = tuple(jnp.where(idx == ci, out, r)
                          for ci, r in zip(collect_layers, reps))

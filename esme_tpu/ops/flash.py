@@ -149,6 +149,181 @@ def _head_block(H, block_q, block_k, budget):
 
 
 # ---------------------------------------------------------------------------
+# Dynamic-span job mode: the static max_span sweep fetches ~2.1x the
+# real block-diagonal coverage at the bench shape (beyond-span DMA is
+# not skipped). When the caller knows the batch's total span count
+# (``host_num_jobs`` — the data plane holds cu_lens on the host), the
+# grid becomes a flat list of REAL (q-block, k-tile) jobs and the
+# sweep fetches exactly the coverage.
+# ---------------------------------------------------------------------------
+
+def host_num_jobs(seg_ids_np, block_q: int, block_k: int,
+                  bucket: int = 256) -> int:
+    """Host-side total job count (sum of per-q-block spans) for a
+    packed segment layout, rounded up to ``bucket`` to bound jit
+    recompiles. MUST be >= the traced sum for the same segments —
+    computed by the same min/max-overlap rule as :func:`block_spans`,
+    so equality holds; the bucket rounds up."""
+    import numpy as np
+    seg = np.asarray(seg_ids_np)
+    nqb = seg.shape[0] // block_q
+    nkb = seg.shape[0] // block_k
+    qs = seg.reshape(nqb, block_q)
+    ks = seg.reshape(nkb, block_k)
+    ov = (ks.min(1)[None, :] <= qs.max(1)[:, None]) & \
+        (ks.max(1)[None, :] >= qs.min(1)[:, None])
+    idx = np.arange(nkb)
+    start = np.where(ov, idx, nkb).min(1)
+    end = np.where(ov, idx + 1, 0).max(1)
+    total = int((end - start).sum())
+    return -(-total // bucket) * bucket
+
+
+def host_num_jobs_from_cu(cu_lens, total: int, block_q: int | None = None,
+                          block_k: int | None = None) -> int:
+    """Job budget for a packed batch described by host cu_lens:
+    mirrors ``packed_meta`` segment construction + ``forward_flat``'s
+    ALIGN tail padding, then counts spans. Returns a bucketed upper
+    bound suitable as the static ``num_jobs`` argument."""
+    import numpy as np
+    bq = block_q or DEFAULT_BLOCK_Q
+    bk = block_k or DEFAULT_BLOCK_K
+    cu = np.asarray(cu_lens)
+    seg = np.searchsorted(cu[1:], np.arange(total), side='right')
+    t_pad = (-total) % ALIGN
+    if t_pad:
+        seg = np.concatenate([seg, np.full(t_pad, seg.max() + 1,
+                                           seg.dtype)])
+    return host_num_jobs(seg, bq, bk)
+
+
+def job_arrays(kstart, kend, num_jobs: int):
+    """Flatten per-q-block spans into job arrays of static length:
+    ``qi[j]`` (q block), ``kj[j]`` (k tile), ``first/last[j]`` (state
+    init / output finalize flags). Jobs beyond the real total clamp to
+    the last block with flags off (their DMA repeats the final tile;
+    compute is predicated off)."""
+    nqb = kstart.shape[0]
+    spans = kend - kstart
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(spans, dtype=jnp.int32)])
+    j = jnp.arange(num_jobs, dtype=jnp.int32)
+    i = jnp.clip(jnp.searchsorted(cum, j, side='right') - 1, 0, nqb - 1)
+    i = i.astype(jnp.int32)
+    valid = j < cum[-1]
+    kj = jnp.minimum(kstart[i] + (j - cum[i]), kend[i] - 1)
+    first = (valid & (j == cum[i])).astype(jnp.int32)
+    last = (valid & (j == cum[i + 1] - 1)).astype(jnp.int32)
+    return i, kj, first, last
+
+
+def _fwd_jobs_kernel(qi_ref, kj_ref, first_ref, last_ref,
+                     qT_ref, segq_ref, k_ref, v_ref, segk_ref,
+                     oT_ref, lse_ref,
+                     m_scr, l_scr, acc_scr,
+                     *, scale: float):
+    j = pl.program_id(1)
+
+    @pl.when(first_ref[j] == 1)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # every job computes — padded clamp-jobs come strictly after the
+    # final real job of the last q block, whose 'last' write already
+    # finalized the output buffer; their scratch pollution is discarded
+    qb = qT_ref[:]
+    s = _bdot(k_ref[:], qb, ((1,), (1,))) * scale
+    mask = (segk_ref[:] == segq_ref[:])[None]
+    s = jnp.where(mask, s, NEG_INF)
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = _bdot(v_ref[:], p.astype(v_ref.dtype), ((2,), (1,)))
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = m_new
+
+    @pl.when(last_ref[j] == 1)
+    def _():
+        l = l_scr[:]
+        l_safe = jnp.where(l == 0, 1.0, l)
+        oT_ref[:] = (acc_scr[:] / l_safe).astype(oT_ref.dtype)
+        lse_ref[:] = m_scr[:] + jnp.log(l_safe)
+
+
+def _fwd_jobs(qT, kT, vT, segq_row, segk_col, kstart, kend, *, block_q,
+              block_k, head_block, num_jobs, scale, interpret):
+    """Job-list forward: grid (H//hb, num_jobs); same math as
+    :func:`_fwd` but only the real block-diagonal tiles are swept.
+    ``num_jobs`` MUST be >= the batch's total span count
+    (:func:`host_num_jobs`); excess jobs are no-op clamps."""
+    H, D, Tq = qT.shape
+    hb = head_block
+
+    qi, kj, first, last = job_arrays(kstart, kend, num_jobs)
+
+    def q_index(g, j, qi_ref, kj_ref, first_ref, last_ref):
+        return (g, 0, qi_ref[j])
+
+    def segq_index(g, j, qi_ref, kj_ref, first_ref, last_ref):
+        return (0, qi_ref[j])
+
+    def kv_index(g, j, qi_ref, kj_ref, first_ref, last_ref):
+        return (g, 0, kj_ref[j])
+
+    def segk_index(g, j, qi_ref, kj_ref, first_ref, last_ref):
+        return (kj_ref[j], 0)
+
+    def out_index(g, j, qi_ref, kj_ref, first_ref, last_ref):
+        return (g, 0, qi_ref[j])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(H // hb, num_jobs),
+        in_specs=[
+            pl.BlockSpec((hb, D, block_q), q_index,
+                         memory_space=pltpu.VMEM),        # qT
+            pl.BlockSpec((1, block_q), segq_index,
+                         memory_space=pltpu.VMEM),        # segq (1,Tq)
+            pl.BlockSpec((hb, D, block_k), kv_index,
+                         memory_space=pltpu.VMEM),        # kT
+            pl.BlockSpec((hb, D, block_k), kv_index,
+                         memory_space=pltpu.VMEM),        # vT
+            pl.BlockSpec((block_k, 1), segk_index,
+                         memory_space=pltpu.VMEM),        # segk (Tk,1)
+        ],
+        out_specs=[
+            pl.BlockSpec((hb, D, block_q), out_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, 1, block_q), out_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hb, 1, block_q), jnp.float32),
+            pltpu.VMEM((hb, 1, block_q), jnp.float32),
+            pltpu.VMEM((hb, D, block_q), jnp.float32),
+        ],
+    )
+
+    kw = dict(dimension_semantics=('parallel', 'arbitrary'))
+    if _VMEM_LIMIT_BYTES is not None:
+        kw['vmem_limit_bytes'] = _VMEM_LIMIT_BYTES
+    return pl.pallas_call(
+        functools.partial(_fwd_jobs_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((H, D, Tq), qT.dtype),
+            jax.ShapeDtypeStruct((H, 1, Tq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(**kw),
+        interpret=interpret,
+    )(qi, kj, first, last, qT, segq_row, kT, vT, segk_col)
+
+
+# ---------------------------------------------------------------------------
 # Forward kernel — all operands token-minor (H, D, T); scores (hb, bk, bq)
 # ---------------------------------------------------------------------------
 
@@ -334,17 +509,89 @@ def _dkv_kernel(qstart_ref, qend_ref,
         dvT_ref[:] = dv_scr[:].astype(dvT_ref.dtype)
 
 
+def _dq_jobs_kernel(qi_ref, kj_ref, first_ref, last_ref,
+                    qT_ref, doT_ref, lse_ref, delta_ref, segq_ref,
+                    k_ref, v_ref, segk_ref,
+                    dqT_ref,
+                    dq_scr,
+                    *, scale: float):
+    j = pl.program_id(1)
+
+    @pl.when(first_ref[j] == 1)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    qb = qT_ref[:]
+    dob = doT_ref[:]
+    lse = lse_ref[:]
+    delta = delta_ref[:]
+    s = _bdot(k_ref[:], qb, ((1,), (1,))) * scale
+    mask = (segk_ref[:] == segq_ref[:])[None]
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    dp = _bdot(v_ref[:], dob, ((1,), (1,)))
+    ds = p * (dp - delta) * scale
+    dq_scr[:] = dq_scr[:] + _bdot(k_ref[:], ds.astype(k_ref.dtype),
+                                  ((2,), (1,)))
+
+    @pl.when(last_ref[j] == 1)
+    def _():
+        dqT_ref[:] = dq_scr[:].astype(dqT_ref.dtype)
+
+
+def _dkv_jobs_kernel(ki_ref, qj_ref, first_ref, last_ref,
+                     k_ref, v_ref, segk_ref,
+                     qT_ref, doT_ref, lse_ref, delta_ref, segq_ref,
+                     dkT_ref, dvT_ref,
+                     dk_scr, dv_scr,
+                     *, scale: float):
+    j = pl.program_id(1)
+
+    @pl.when(first_ref[j] == 1)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qb = qT_ref[:]
+    dob = doT_ref[:]
+    lse = lse_ref[:]
+    delta = delta_ref[:]
+    s = _bdot(k_ref[:], qb, ((1,), (1,))) * scale
+    mask = (segk_ref[:] == segq_ref[:])[None]
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    dv_scr[:] = dv_scr[:] + _bdot(dob, p.astype(dob.dtype),
+                                  ((2,), (2,)))
+    dp = _bdot(v_ref[:], dob, ((1,), (1,)))
+    ds = p * (dp - delta) * scale
+    dk_scr[:] = dk_scr[:] + _bdot(qb, ds.astype(qb.dtype),
+                                  ((2,), (2,)))
+
+    @pl.when(last_ref[j] == 1)
+    def _():
+        dkT_ref[:] = dk_scr[:].astype(dkT_ref.dtype)
+        dvT_ref[:] = dv_scr[:].astype(dvT_ref.dtype)
+
+
 def _bwd(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
          kstart, kend, qstart, qend, *,
-         block_q, block_k, max_span_q, max_span_k, scale, interpret):
+         block_q, block_k, max_span_q, max_span_k, scale, interpret,
+         num_jobs=None):
     """All operands token-minor (H, D, T); lse/delta (H, 1, Tq) fp32.
-    Returns dqT (H,D,Tq), dkT/dvT (H,D,Tk)."""
+    Returns dqT (H,D,Tq), dkT/dvT (H,D,Tk). ``num_jobs``: dynamic-span
+    job mode for both kernels (the overlap-pair count is direction-
+    symmetric, so one budget serves dq and dk/dv)."""
     H, D, Tq = qT.shape
     Tk = kT.shape[2]
     nqb = Tq // block_q
     nkb = Tk // block_k
     hb = _head_block(H, block_q, block_k, _BWD_SCORE_BUDGET)
     dtype = qT.dtype
+
+    if num_jobs is not None:
+        return _bwd_jobs(qT, kT, vT, segq_row, segk_col, lse, delta,
+                         doT, kstart, kend, qstart, qend,
+                         block_q=block_q, block_k=block_k, hb=hb,
+                         num_jobs=num_jobs, scale=scale,
+                         interpret=interpret)
 
     def kv_index(g, i, jj, kstart_ref, kend_ref):
         j = jnp.minimum(kstart_ref[i] + jj, kend_ref[i] - 1)
@@ -448,6 +695,129 @@ def _bwd(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
         compiler_params=_compiler_params(),
         interpret=interpret,
     )(qstart, qend, kT, vT, segk_col, qT, doT, lse, delta, segq_row)
+
+    return dqT, dkT, dvT
+
+
+def _bwd_jobs(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
+              kstart, kend, qstart, qend, *, block_q, block_k, hb,
+              num_jobs, scale, interpret):
+    H, D, Tq = qT.shape
+    Tk = kT.shape[2]
+    dtype = qT.dtype
+
+    kw = dict(dimension_semantics=('parallel', 'arbitrary'))
+    if _VMEM_LIMIT_BYTES is not None:
+        kw['vmem_limit_bytes'] = _VMEM_LIMIT_BYTES
+    cparams = pltpu.CompilerParams(**kw)
+
+    # ---- dq: jobs walk (q block, k tile) pairs -------------------------
+    qi, kj, first, last = job_arrays(kstart, kend, num_jobs)
+
+    def q_side(g, j, qi_ref, *_):
+        return (g, 0, qi_ref[j])
+
+    def q_row(g, j, qi_ref, *_):
+        return (0, qi_ref[j])
+
+    def kv_side(g, j, qi_ref, kj_ref, *_):
+        return (g, 0, kj_ref[j])
+
+    def k_col(g, j, qi_ref, kj_ref, *_):
+        return (kj_ref[j], 0)
+
+    dqT = pl.pallas_call(
+        functools.partial(_dq_jobs_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(H // hb, num_jobs),
+            in_specs=[
+                pl.BlockSpec((hb, D, block_q), q_side,
+                             memory_space=pltpu.VMEM),   # qT
+                pl.BlockSpec((hb, D, block_q), q_side,
+                             memory_space=pltpu.VMEM),   # doT
+                pl.BlockSpec((hb, 1, block_q), q_side,
+                             memory_space=pltpu.VMEM),   # lse
+                pl.BlockSpec((hb, 1, block_q), q_side,
+                             memory_space=pltpu.VMEM),   # delta
+                pl.BlockSpec((1, block_q), q_row,
+                             memory_space=pltpu.VMEM),   # segq (1,Tq)
+                pl.BlockSpec((hb, D, block_k), kv_side,
+                             memory_space=pltpu.VMEM),   # kT
+                pl.BlockSpec((hb, D, block_k), kv_side,
+                             memory_space=pltpu.VMEM),   # vT
+                pl.BlockSpec((block_k, 1), k_col,
+                             memory_space=pltpu.VMEM),   # segk (Tk,1)
+            ],
+            out_specs=pl.BlockSpec((hb, D, block_q), q_side,
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((hb, D, block_q), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, D, Tq), dtype),
+        compiler_params=cparams,
+        interpret=interpret,
+    )(qi, kj, first, last, qT, doT, lse, delta, segq_row, kT, vT,
+      segk_col)
+
+    # ---- dk/dv: jobs walk (k block, q tile) pairs ----------------------
+    ki, qj, first2, last2 = job_arrays(qstart, qend, num_jobs)
+
+    def k_side(g, j, ki_ref, *_):
+        return (g, 0, ki_ref[j])
+
+    def k_col2(g, j, ki_ref, *_):
+        return (ki_ref[j], 0)
+
+    def q_side2(g, j, ki_ref, qj_ref, *_):
+        return (g, 0, qj_ref[j])
+
+    def q_row2(g, j, ki_ref, qj_ref, *_):
+        return (0, qj_ref[j])
+
+    dkT, dvT = pl.pallas_call(
+        functools.partial(_dkv_jobs_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(H // hb, num_jobs),
+            in_specs=[
+                pl.BlockSpec((hb, D, block_k), k_side,
+                             memory_space=pltpu.VMEM),   # kT
+                pl.BlockSpec((hb, D, block_k), k_side,
+                             memory_space=pltpu.VMEM),   # vT
+                pl.BlockSpec((block_k, 1), k_col2,
+                             memory_space=pltpu.VMEM),   # segk (Tk,1)
+                pl.BlockSpec((hb, D, block_q), q_side2,
+                             memory_space=pltpu.VMEM),   # qT
+                pl.BlockSpec((hb, D, block_q), q_side2,
+                             memory_space=pltpu.VMEM),   # doT
+                pl.BlockSpec((hb, 1, block_q), q_side2,
+                             memory_space=pltpu.VMEM),   # lse
+                pl.BlockSpec((hb, 1, block_q), q_side2,
+                             memory_space=pltpu.VMEM),   # delta
+                pl.BlockSpec((1, block_q), q_row2,
+                             memory_space=pltpu.VMEM),   # segq (1,Tq)
+            ],
+            out_specs=[
+                pl.BlockSpec((hb, D, block_k), k_side,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb, D, block_k), k_side,
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hb, D, block_k), jnp.float32),
+                pltpu.VMEM((hb, D, block_k), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((H, D, Tk), dtype),
+            jax.ShapeDtypeStruct((H, D, Tk), dtype),
+        ],
+        compiler_params=cparams,
+        interpret=interpret,
+    )(ki, qj, first2, last2, kT, vT, segk_col, qT, doT, lse, delta,
+      segq_row)
 
     return dqT, dkT, dvT
 

@@ -119,9 +119,10 @@ class MaskedPLM:
         working = tuple(m.astype(dt) for m, dt in zip(master, dtypes))
         return master, opt_state, working
 
-    @partial(jax.jit, static_argnames=('self', 'max_seqlen'))
+    @partial(jax.jit, static_argnames=('self', 'max_seqlen', 'num_jobs'))
     def _grad_step(self, params, masked_tokens, seg_ids, pos_ids,
-                   targets, mask, max_seqlen: int, step):
+                   targets, mask, max_seqlen: int, step,
+                   num_jobs=None):
         train, frozen, treedef, flags = split_by_mask(params, self._mask)
         dropout_rng = jax.random.fold_in(self._dropout_key, step) \
             if self._lora_dropout > 0.0 else None
@@ -129,15 +130,16 @@ class MaskedPLM:
         def loss_fn(train):
             p = merge_leaves(train, frozen, treedef, flags)
             return self._loss_fn(p, masked_tokens, seg_ids, pos_ids,
-                                 targets, mask, max_seqlen, dropout_rng)
+                                 targets, mask, max_seqlen, dropout_rng,
+                                 num_jobs)
 
         return jax.value_and_grad(loss_fn)(train)
 
     def _offload_step(self, masked_tokens, seg_ids, pos_ids, targets,
-                      mask, max_seqlen: int):
+                      mask, max_seqlen: int, num_jobs=None):
         loss, grads = self._grad_step(
             self.state.params, masked_tokens, seg_ids, pos_ids, targets,
-            mask, max_seqlen, self.state.step)
+            mask, max_seqlen, self.state.step, num_jobs)
         train, frozen, treedef, flags = split_by_mask(self.state.params,
                                                       self._mask)
         dtypes = tuple(t.dtype for t in train)
@@ -154,19 +156,19 @@ class MaskedPLM:
         return loss
 
     def _loss_fn(self, params, masked_tokens, seg_ids, pos_ids, targets,
-                 mask, max_seqlen, dropout_rng=None):
+                 mask, max_seqlen, dropout_rng=None, num_jobs=None):
         logits = forward_flat(
             params, self.model.config, masked_tokens, seg_ids, pos_ids,
             with_head=True, attn_impl=self.attn_impl,
             checkpointing=self.model.checkpointing, max_seqlen=max_seqlen,
             lora_dropout=self._lora_dropout if dropout_rng is not None
-            else 0.0, dropout_rng=dropout_rng)
+            else 0.0, dropout_rng=dropout_rng, num_jobs=num_jobs)
         return cross_entropy(logits, targets, mask)
 
-    @partial(jax.jit, static_argnames=('self', 'max_seqlen'),
+    @partial(jax.jit, static_argnames=('self', 'max_seqlen', 'num_jobs'),
              donate_argnames=('state',))
     def _step(self, state: TrainState, masked_tokens, seg_ids, pos_ids,
-              targets, mask, max_seqlen: int):
+              targets, mask, max_seqlen: int, num_jobs=None):
         train, frozen, treedef, flags = split_by_mask(state.params,
                                                       self._mask)
         dropout_rng = jax.random.fold_in(self._dropout_key, state.step) \
@@ -175,7 +177,8 @@ class MaskedPLM:
         def loss_fn(train):
             params = merge_leaves(train, frozen, treedef, flags)
             return self._loss_fn(params, masked_tokens, seg_ids, pos_ids,
-                                 targets, mask, max_seqlen, dropout_rng)
+                                 targets, mask, max_seqlen, dropout_rng,
+                                 num_jobs)
 
         loss, grads = jax.value_and_grad(loss_fn)(train)
         updates, opt_state = self.optimizer.update(
@@ -187,11 +190,14 @@ class MaskedPLM:
     def training_step(self, batch) -> float:
         """One (micro)batch step; returns the loss
         (reference: esme/trainer.py:31-35)."""
+        from ..ops.flash import host_num_jobs_from_cu
+        num_jobs = host_num_jobs_from_cu(np.asarray(batch.cu_lens),
+                                         int(batch.tokens.shape[0]))
         cu_lens = jnp.asarray(batch.cu_lens, jnp.int32)
         seg_ids, pos_ids = packed_meta(cu_lens, batch.tokens.shape[0])
         args = (jnp.asarray(batch.masked_tokens, jnp.int32), seg_ids,
                 pos_ids, jnp.asarray(batch.tokens, jnp.int32),
-                jnp.asarray(batch.mask), int(batch.max_len))
+                jnp.asarray(batch.mask), int(batch.max_len), num_jobs)
         if self._offload:
             loss = self._offload_step(*args)
         else:

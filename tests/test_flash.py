@@ -112,3 +112,87 @@ def test_model_with_flash_impl_matches_einsum():
     a = np.asarray(m.forward(tok, pad_args=(cu, ml), attn_impl='reference'))
     b = np.asarray(m.forward(tok, pad_args=(cu, ml), attn_impl='flash'))
     np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
+
+
+def test_fwd_jobs_matches_static():
+    """Dynamic-span job mode produces identical output (and lse) to
+    the static max_span sweep — same math, different grid."""
+    import math
+    import jax.numpy as jnp
+    from esme_tpu.ops import flash
+    from esme_tpu.ops.flash import (_fwd, _fwd_jobs, _head_block,
+                                    _span_cap, block_spans, host_num_jobs)
+
+    T, H, D, bq, bk = 2048, 4, 64, 256, 256
+    rng = np.random.default_rng(0)
+    lens, tot = [], 0
+    while tot < T - 300:
+        n = int(rng.integers(50, 400))
+        lens.append(n)
+        tot += n
+    lens.append(T - tot)
+    seg_np = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
+    seg = jnp.asarray(seg_np)
+    qT = jnp.asarray(rng.standard_normal((H, D, T)), jnp.float32)
+    kT = jnp.asarray(rng.standard_normal((H, D, T)), jnp.float32)
+    vT = jnp.asarray(rng.standard_normal((H, D, T)), jnp.float32)
+    segq_row = seg.reshape(1, T)
+    segk_col = seg.reshape(T, 1)
+    kstart, kend, _, _ = block_spans(seg, bq, bk)
+    scale = 1.0 / math.sqrt(D)
+
+    o_s, lse_s = _fwd(qT, kT, vT, segq_row, segk_col, kstart, kend,
+                      block_q=bq, block_k=bk, head_block=2,
+                      max_span=_span_cap(T, bq, bk, None), scale=scale,
+                      interpret=True)
+    nj = host_num_jobs(seg_np, bq, bk)
+    assert nj >= int((kend - kstart).sum())
+    o_j, lse_j = _fwd_jobs(qT, kT, vT, segq_row, segk_col, kstart, kend,
+                           block_q=bq, block_k=bk, head_block=2,
+                           num_jobs=nj, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(o_j), np.asarray(o_s),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse_j), np.asarray(lse_s),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_jobs_grad_matches_static():
+    """Fused attention with the dynamic-span job grid matches the
+    static sweep in both forward and gradients."""
+    import jax
+    import jax.numpy as jnp
+    from esme_tpu.ops.flash import host_num_jobs
+    from esme_tpu.ops.fused_attn import fused_rotary_flash
+    from esme_tpu.ops.rotary import rotary_cos_sin
+
+    T, H, D = 1024, 4, 64
+    rng = np.random.default_rng(3)
+    lens, tot = [], 0
+    while tot < T - 300:
+        n = int(rng.integers(50, 400))
+        lens.append(n)
+        tot += n
+    lens.append(T - tot)
+    seg_np = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
+    seg = jnp.asarray(seg_np)
+    q2 = jnp.asarray(rng.standard_normal((T, H * D)), jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((T, H * D)), jnp.float32)
+    v2 = jnp.asarray(rng.standard_normal((T, H * D)), jnp.float32)
+    cos, sin = rotary_cos_sin(jnp.arange(T), D, dtype=jnp.float32)
+    nj = host_num_jobs(seg_np, 256, 256)
+
+    def run(njobs):
+        def loss(q2, k2, v2):
+            return jnp.sum(fused_rotary_flash(
+                q2, k2, v2, cos, sin, seg, H, 256, 256, None, True,
+                njobs) ** 2)
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            q2, k2, v2)
+        return val, grads
+
+    v_s, g_s = run(None)
+    v_j, g_j = run(nj)
+    np.testing.assert_allclose(float(v_j), float(v_s), rtol=1e-6)
+    for a, b in zip(g_j, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

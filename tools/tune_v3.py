@@ -102,5 +102,58 @@ def main():
         run(bq, bk, fb, bb)
 
 
-if __name__ == '__main__':
+if __name__ == '__main__' and (len(sys.argv) < 2 or sys.argv[1] != 'jobs'):
     main()
+
+
+def ab_jobs():
+    """A/B the dynamic-span job mode vs the static span sweep through
+    the fused boundary at the bench shape."""
+    import math
+    import esme_tpu.ops.flash as flash
+    from esme_tpu.ops.fused_attn import fused_rotary_flash
+    from esme_tpu.ops.rotary import rotary_cos_sin
+
+    H, D = 20, 64
+    rng = np.random.default_rng(0)
+    T = ((50_000 + 255) // 256) * 256
+    lens, tot = [], 0
+    while tot < T - 1024:
+        n = int(rng.integers(100, 1000)) + 2
+        lens.append(n)
+        tot += n
+    lens.append(T - tot)
+    seg_np = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
+    seg = jnp.asarray(seg_np)
+    max_len = max(lens[:-1])
+    pos = jnp.asarray(
+        np.concatenate([np.arange(n, dtype=np.int32) for n in lens]))
+    cos, sin = rotary_cos_sin(pos, D, dtype=jnp.bfloat16)
+    q2 = jnp.asarray(rng.standard_normal((T, H * D)), jnp.bfloat16)
+    k2 = jnp.asarray(rng.standard_normal((T, H * D)), jnp.bfloat16)
+    v2 = jnp.asarray(rng.standard_normal((T, H * D)), jnp.bfloat16)
+    sol_ms = 4 * sum(l * l for l in lens) * H * D / 197e12 * 1e3
+
+    nj = flash.host_num_jobs(seg_np, 256, 256)
+    print(f'num_jobs={nj} vs static '
+          f'{(T//256)*flash._span_cap(T, 256, 256, max_len)}', flush=True)
+
+    ref = None
+    for tag, njobs in [('static', None), ('jobs', nj)]:
+        @jax.jit
+        def f(q2, k2, v2):
+            return fused_rotary_flash(q2, k2, v2, cos, sin, seg, H,
+                                      256, 256, max_len, False, njobs)
+        dt = benchmark(f, q2, k2, v2, reps=20)
+        out = np.asarray(f(q2, k2, v2)[:, :64], np.float32)
+        err = ''
+        if ref is None:
+            ref = out
+        else:
+            err = f'  err={np.abs(out - ref).max():.5f}'
+        print(f'fused fwd {tag:7s} {dt*1e3:7.2f} ms '
+              f'({dt*1e3/sol_ms:4.1f}x SoL){err}', flush=True)
+
+
+if __name__ == '__main__' and len(sys.argv) > 1 and sys.argv[1] == 'jobs':
+    ab_jobs()
