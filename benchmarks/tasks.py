@@ -103,8 +103,12 @@ def load_tf(pos_path, neg_path, val_frac=0.1, seed=41):
     return splits
 
 
-def synthetic_splits(task, n=48, seed=0):
-    """Smoke-mode data so every pipeline runs without FLIP downloads."""
+def synthetic_splits(task, n=48, seed=None):
+    """Smoke-mode data so every pipeline runs without FLIP downloads.
+    Per-task seeds so the regression tasks don't produce byte-identical
+    artifacts."""
+    if seed is None:
+        seed = {'meltome': 11, 'gb1': 22, 'aav': 33, 'tf': 44}[task]
     rng = np.random.default_rng(seed)
     aas = list('LAGVSERTIDPKQNFYMHWC')
     splits = {}

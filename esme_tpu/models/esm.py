@@ -106,15 +106,52 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
         # compute cos/sin once; inside the scan they are loop-invariant
         from ..ops.rotary import rotary_cos_sin
         rope = rotary_cos_sin(pos_ids, cfg.head_dim, dtype=x.dtype)
-    x, reps = layer_stack(x, params['layers'], cfg, seg_ids, pos_ids,
-                          lora_names=lora_names, attn_impl=attn_impl,
-                          checkpointing=checkpointing,
-                          collect_layers=collect_layers,
-                          max_seqlen=max_seqlen, gather_fn=layer_gather,
-                          rope=rope, lora_dropout=lora_dropout,
-                          dropout_rng=dropout_rng, kv_gather=kv_gather,
-                          num_jobs=num_jobs)
-    x = apply_norm(x, params['emb_norm_after'])
+
+    # token-minor residual stream: the flash kernels are fully
+    # token-minor, so a feature-major (C, T) stream makes head
+    # split/merge free reshapes and eliminates the relayout kernels —
+    # one transpose in, one out, per forward (not per layer)
+    T2 = tokens.shape[0]
+    # measured: tm wins at the 50k operating point (+5% fwd, +7.5%
+    # ckpt train MFU) but loses ~8% on the 10k un-checkpointed train
+    # step; gate by size. CPU interpret (tests) keeps tm at any size
+    # so the parity suite exercises it.
+    tm_min = 16384 if jax.default_backend() == 'tpu' else 256
+    use_tm = (kv_gather is None and collect_layers is None
+              and attn_impl in ('flash', 'auto')
+              and (attn_impl == 'flash'
+                   or (jax.default_backend() == 'tpu' and T2 >= 256))
+              and T2 % ALIGN == 0 and T2 >= tm_min)
+    if use_tm:
+        from ..ops.norm import apply_norm_t
+        from .modules import layer_stack_tm
+        rope_t = None
+        if cfg.rotary:
+            h2 = cfg.head_dim // 2
+            rope_t = (jnp.swapaxes(rope[0][:, :h2], 0, 1),
+                      jnp.swapaxes(rope[1][:, :h2], 0, 1))
+        xT = jnp.swapaxes(x, 0, 1)
+        xT = layer_stack_tm(xT, params['layers'], cfg, seg_ids,
+                            lora_names=lora_names,
+                            checkpointing=checkpointing,
+                            max_seqlen=max_seqlen,
+                            gather_fn=layer_gather, rope_t=rope_t,
+                            lora_dropout=lora_dropout,
+                            dropout_rng=dropout_rng, num_jobs=num_jobs)
+        x = jnp.swapaxes(apply_norm_t(xT, params['emb_norm_after']),
+                         0, 1)
+        reps = []
+    else:
+        x, reps = layer_stack(x, params['layers'], cfg, seg_ids, pos_ids,
+                              lora_names=lora_names, attn_impl=attn_impl,
+                              checkpointing=checkpointing,
+                              collect_layers=collect_layers,
+                              max_seqlen=max_seqlen,
+                              gather_fn=layer_gather,
+                              rope=rope, lora_dropout=lora_dropout,
+                              dropout_rng=dropout_rng,
+                              kv_gather=kv_gather, num_jobs=num_jobs)
+        x = apply_norm(x, params['emb_norm_after'])
 
     if t_pad and attn_impl != 'reference':
         x = x[:T]

@@ -347,3 +347,161 @@ def roberta_lm_head(x, params, embed=None):
     if 'bias' in final:
         logits = logits + final['bias']
     return logits
+
+
+# ---------------------------------------------------------------------------
+# Token-minor residual stream: x (C, T). The flash kernels are fully
+# token-minor (ops/flash.py), so keeping the stream feature-major makes
+# head split/merge FREE reshapes — the relayout Pallas kernels
+# (ops/headsplit.py, ~1.6 ms/layer net at the 650M bench shape) vanish
+# entirely. RoPE applies in XLA on (H, D, T) with transposed tables;
+# its VJP saves only the loop-invariant tables.
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def _gelu_linear_t(h, kernel, bias):
+    """``kernel^T @ gelu(h) (+bias)`` over token-minor ``(C, T)``,
+    saving only ``h`` — the twin of :func:`gelu_linear`."""
+    y = jax.lax.dot_general(
+        kernel, gelu(h), dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mxu_precision(h, kernel)).astype(h.dtype)
+    return y + bias[:, None] if bias is not None else y
+
+
+def _gelu_linear_t_fwd(h, kernel, bias):
+    return _gelu_linear_t(h, kernel, bias), (h, kernel, bias is not None)
+
+
+def _gelu_linear_t_bwd(res, dy):
+    h, kernel, has_bias = res
+    g = gelu(h)
+    prec = mxu_precision(h, kernel)
+    # dh = (kernel @ dy) * gelu'(h)
+    dh = jax.lax.dot_general(
+        kernel, dy, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(h.dtype)
+    dh = dh * _gelu_deriv(h).astype(h.dtype)
+    # dkernel (in, out) = g @ dy^T : contract over T
+    dkernel = jax.lax.dot_general(
+        g, dy, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(kernel.dtype)
+    dbias = jnp.sum(dy, axis=1) if has_bias else None
+    return dh, dkernel, dbias
+
+
+_gelu_linear_t.defvjp(_gelu_linear_t_fwd, _gelu_linear_t_bwd)
+
+
+def _rotate_tm(xT, cos_h, sin_h):
+    """RoPE on token-minor heads ``(H, D, T)`` with half-tables
+    ``(D/2, T)``."""
+    h2 = xT.shape[1] // 2
+    x1 = xT[:, :h2, :]
+    x2 = xT[:, h2:, :]
+    return jnp.concatenate([x1 * cos_h - x2 * sin_h,
+                            x2 * cos_h + x1 * sin_h], axis=1)
+
+
+def attention_block_tm(xT, params, cfg, seg_ids,
+                       lora_names=None,
+                       max_seqlen: Optional[int] = None,
+                       rope_t: Optional[tuple] = None,
+                       lora_dropout: float = 0.0, dropout_rng=None,
+                       num_jobs: Optional[int] = None):
+    """Token-minor attention block: all reshapes free, no relayouts."""
+    from ..ops.flash import DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, flash_tm
+    from ..ops.linear import linear_t
+    from ..ops.norm import apply_norm_t
+
+    C, T = xT.shape
+    H, Dh = cfg.attention_heads, cfg.head_dim
+    h = apply_norm_t(xT, params['norm'])
+    rngs = [None] * 4
+    if dropout_rng is not None and lora_dropout > 0.0:
+        rngs = [jax.random.fold_in(dropout_rng, i) for i in range(4)]
+    q = linear_t(h, params['q'], lora_names, lora_dropout, rngs[0])
+    k = linear_t(h, params['k'], lora_names, lora_dropout, rngs[1])
+    v = linear_t(h, params['v'], lora_names, lora_dropout, rngs[2])
+
+    if cfg.qk_layernorm:
+        q = apply_norm_t(q, params['ln_q'])
+        k = apply_norm_t(k, params['ln_k'])
+
+    q = q.reshape(H, Dh, T)
+    k = k.reshape(H, Dh, T)
+    v = v.reshape(H, Dh, T)
+    if cfg.rotary:
+        cos_h, sin_h = rope_t
+        q = _rotate_tm(q, cos_h, sin_h)
+        k = _rotate_tm(k, cos_h, sin_h)
+
+    oT = flash_tm(q, k, v, seg_ids, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                  max_seqlen, _interpret_default(), num_jobs)
+    return linear_t(oT.reshape(C, T), params['out'], lora_names,
+                    lora_dropout, rngs[3])
+
+
+def _interpret_default():
+    return jax.default_backend() != 'tpu'
+
+
+def mlp_block_tm(xT, params, cfg):
+    from ..ops.linear import linear_t
+    from ..ops.norm import apply_norm_t
+    h = apply_norm_t(xT, params['norm'])
+    if cfg.mlp == 'swiglu':
+        gate = linear_t(h, params['gate'])
+        up = linear_t(h, params['up'])
+        return linear_t(jax.nn.silu(gate) * up, params['down'])
+    h = linear_t(h, params['fc1'])
+    fc2 = params['fc2']
+    if 'kernel' in fc2 and not fc2.get('lora'):
+        return _gelu_linear_t(h, fc2['kernel'], fc2.get('bias'))
+    from ..ops.linear import linear_t as _lt
+    return _lt(gelu(h), fc2)
+
+
+def transformer_layer_tm(xT, params, cfg, seg_ids, lora_names=None,
+                         max_seqlen: Optional[int] = None,
+                         rope_t: Optional[tuple] = None,
+                         lora_dropout: float = 0.0, dropout_rng=None,
+                         num_jobs: Optional[int] = None):
+    inv_scale = 1.0 / cfg.residue_scaling
+    xT = xT + attention_block_tm(xT, params['attn'], cfg, seg_ids,
+                                 lora_names, max_seqlen, rope_t,
+                                 lora_dropout, dropout_rng,
+                                 num_jobs) * inv_scale
+    xT = xT + mlp_block_tm(xT, params['mlp'], cfg) * inv_scale
+    return xT
+
+
+def layer_stack_tm(xT, stacked_params, cfg, seg_ids, lora_names=None,
+                   checkpointing: bool = False,
+                   max_seqlen: Optional[int] = None, gather_fn=None,
+                   rope_t: Optional[tuple] = None,
+                   lora_dropout: float = 0.0, dropout_rng=None,
+                   num_jobs: Optional[int] = None):
+    """Token-minor twin of :func:`layer_stack` (no collect_layers —
+    callers needing intermediate reps use the standard path)."""
+    def body(carry, xs):
+        x, = carry
+        layer_params, idx = xs
+        if gather_fn is not None:
+            layer_params = gather_fn(layer_params)
+        layer_rng = None if dropout_rng is None \
+            else jax.random.fold_in(dropout_rng, idx)
+        out = transformer_layer_tm(x, layer_params, cfg, seg_ids,
+                                   lora_names, max_seqlen, rope_t,
+                                   lora_dropout, layer_rng, num_jobs)
+        return (out,), None
+
+    if checkpointing:
+        body = jax.checkpoint(body)
+
+    L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    (xT,), _ = jax.lax.scan(body, (xT,),
+                            (stacked_params, jnp.arange(L)))
+    return xT

@@ -194,7 +194,15 @@ def host_num_jobs_from_cu(cu_lens, total: int, block_q: int | None = None,
     if t_pad:
         seg = np.concatenate([seg, np.full(t_pad, seg.max() + 1,
                                            seg.dtype)])
-    return host_num_jobs(seg, bq, bk)
+    nj = host_num_jobs(seg, bq, bk)
+    if nj < 768:
+        # measured on v5e: at a 10k-token budget (~200 jobs) job mode
+        # LOSES ~10% on the train step (the short data-dependent job
+        # grid pipelines worse than the static sweep); at 50k (~930
+        # jobs) it wins. Below this threshold callers fall back to the
+        # static span sweep.
+        return None
+    return nj
 
 
 def job_arrays(kstart, kend, num_jobs: int):
@@ -993,3 +1001,69 @@ def flash_rect_attention(q, k, v, seg_q, seg_k, *,
     sk = jax.lax.stop_gradient(sk)
     o = _flash_core(qt, kt, vt, sq, sk, bq, bk, max_seqlen, interpret)
     return jnp.swapaxes(o, 0, 1)[:Tq].astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Token-minor public entry: q/k/v already (H, D, T) — the token-minor
+# residual-stream model path (models/modules.py) calls this directly;
+# no relayout of any kind happens. Residuals are dense (T on the lane
+# dim), so unlike the old head-major fused boundary there is no
+# lane-padding waste to engineer around.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def flash_tm(qT, kT, vT, seg_ids, block_q: int, block_k: int,
+             max_seqlen, interpret: bool, num_jobs=None):
+    """Segment flash attention over token-minor ``(H, D, T)`` q/k/v
+    (RoPE already applied by the caller). Returns oT ``(H, D, T)``.
+    T must be a multiple of ``lcm(block_q, block_k)``."""
+    o, _ = _flash_tm_fwd(qT, kT, vT, seg_ids, block_q, block_k,
+                         max_seqlen, interpret, num_jobs)
+    return o
+
+
+def _flash_tm_fwd(qT, kT, vT, seg_ids, block_q, block_k, max_seqlen,
+                  interpret, num_jobs):
+    H, D, T = qT.shape
+    seg_ids = jax.lax.stop_gradient(seg_ids.astype(jnp.int32))
+    segq_row = seg_ids.reshape(1, T)
+    segk_col = seg_ids.reshape(T, 1)
+    kstart, kend, _, _ = block_spans(seg_ids, block_q, block_k)
+    hb = _head_block(H, block_q, block_k, _FWD_SCORE_BUDGET)
+    scale = 1.0 / math.sqrt(D)
+    if num_jobs is not None:
+        oT, lse = _fwd_jobs(qT, kT, vT, segq_row, segk_col, kstart,
+                            kend, block_q=block_q, block_k=block_k,
+                            head_block=hb, num_jobs=num_jobs,
+                            scale=scale, interpret=interpret)
+    else:
+        oT, lse = _fwd(qT, kT, vT, segq_row, segk_col, kstart, kend,
+                       block_q=block_q, block_k=block_k, head_block=hb,
+                       max_span=_span_cap(T, block_q, block_k,
+                                          max_seqlen),
+                       scale=scale, interpret=interpret)
+    return oT, (qT, kT, vT, seg_ids, oT, lse)
+
+
+def _flash_tm_bwd(block_q, block_k, max_seqlen, interpret, num_jobs,
+                  res, doT):
+    qT, kT, vT, seg_ids, oT, lse = res
+    H, D, T = qT.shape
+    segq_row = seg_ids.reshape(1, T)
+    segk_col = seg_ids.reshape(T, 1)
+    kstart, kend, qstart, qend = block_spans(seg_ids, block_q, block_k)
+    doT = doT.astype(qT.dtype)
+    delta = jnp.sum(doT.astype(jnp.float32) * oT.astype(jnp.float32),
+                    axis=1, keepdims=True)           # (H, 1, T)
+    dqT, dkT, dvT = _bwd(
+        qT, kT, vT, segq_row, segk_col, lse, delta, doT,
+        kstart, kend, qstart, qend,
+        block_q=block_q, block_k=block_k,
+        max_span_q=_span_cap(T, block_k, block_q, max_seqlen),
+        max_span_k=_span_cap(T, block_q, block_k, max_seqlen),
+        scale=1.0 / math.sqrt(D), interpret=interpret,
+        num_jobs=num_jobs)
+    return dqT, dkT, dvT, None
+
+
+flash_tm.defvjp(_flash_tm_fwd, _flash_tm_bwd)

@@ -77,3 +77,49 @@ def linear(x: jnp.ndarray, params: dict,
             y = y + contrib
 
     return y
+
+
+def matmul_t(kernel: jnp.ndarray, xT: jnp.ndarray) -> jnp.ndarray:
+    """``(out, T) = kernel^T @ xT`` for a ``(C_in, T)`` token-minor
+    stream and the standard ``(in, out)`` kernel layout — the same MXU
+    contraction as :func:`matmul`, transposed."""
+    return jax.lax.dot_general(
+        kernel, xT, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mxu_precision(kernel, xT)).astype(xT.dtype)
+
+
+def linear_t(xT: jnp.ndarray, params: dict,
+             lora_names: Optional[Sequence[str]] = None,
+             lora_dropout: float = 0.0,
+             dropout_rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Token-minor twin of :func:`linear`: ``xT (C_in, T)`` ->
+    ``(C_out, T)``. Same param-dict contract."""
+    if 'qvalue' in params:
+        from ..quant import dequantize
+        w = dequantize(params, dtype=xT.dtype)
+        y = matmul_t(w, xT)
+    else:
+        y = matmul_t(params['kernel'], xT)
+
+    if 'bias' in params and params['bias'] is not None:
+        y = y + params['bias'][:, None]
+
+    lora = params.get('lora')
+    if lora:
+        names = lora_names if lora_names is not None else sorted(lora.keys())
+        for j, name in enumerate(names):
+            adapter = lora[name]
+            scale = jax.lax.stop_gradient(adapter['scale']).astype(xT.dtype)
+            contrib = matmul_t(adapter['b'],
+                               matmul_t(adapter['a'], xT)) * scale
+            if dropout_rng is not None and lora_dropout > 0.0:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_rng, j),
+                    1.0 - lora_dropout, contrib.shape)
+                contrib = jnp.where(keep,
+                                    contrib / (1.0 - lora_dropout),
+                                    0.0).astype(contrib.dtype)
+            y = y + contrib
+
+    return y

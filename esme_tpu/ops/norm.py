@@ -71,3 +71,63 @@ layer_norm.defvjp(_ln_fwd, _ln_bwd)
 def apply_norm(x: jnp.ndarray, params: dict, eps: float = 1e-5) -> jnp.ndarray:
     """Apply a ``{'scale': ..., 'bias'?: ...}`` LayerNorm param dict."""
     return layer_norm(x, params['scale'], params.get('bias'), eps)
+
+
+# ---------------------------------------------------------------------------
+# Token-minor (feature-major) variant: x (C, T), stats over the
+# feature axis 0. The token-minor residual stream keeps every layer
+# operand in the flash kernels' native layout so no relayout kernels
+# run at all (see esme_tpu/models/modules.py token-minor path).
+# ---------------------------------------------------------------------------
+
+def _ln_stats_t(x32: jnp.ndarray, eps: float):
+    mean = x32.mean(axis=0, keepdims=True)
+    var = x32.var(axis=0, keepdims=True)
+    rstd = jnp.reciprocal(jnp.sqrt(var + eps))
+    return mean, rstd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def layer_norm_t(x: jnp.ndarray, scale: jnp.ndarray,
+                 bias: jnp.ndarray | None = None,
+                 eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over axis 0 of a ``(C, T)`` stream; numerics
+    identical to :func:`layer_norm` on the transposed input."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean, rstd = _ln_stats_t(x32, eps)
+    y = (x32 - mean) * rstd * scale.astype(jnp.float32)[:, None]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)[:, None]
+    return y.astype(dtype)
+
+
+def _ln_t_fwd(x, scale, bias, eps):
+    return layer_norm_t(x, scale, bias, eps), (x, scale, bias is not None)
+
+
+def _ln_t_bwd(eps, res, dy):
+    x, scale, has_bias = res
+    x32 = x.astype(jnp.float32)
+    mean, rstd = _ln_stats_t(x32, eps)        # recomputed, not saved
+    xhat = (x32 - mean) * rstd
+    dy32 = dy.astype(jnp.float32)
+
+    dscale = jnp.sum(dy32 * xhat, axis=1).astype(scale.dtype)
+    dbias = jnp.sum(dy32, axis=1).astype(scale.dtype) if has_bias \
+        else None
+
+    dxhat = dy32 * scale.astype(jnp.float32)[:, None]
+    dx = rstd * (dxhat
+                 - dxhat.mean(axis=0, keepdims=True)
+                 - xhat * (dxhat * xhat).mean(axis=0, keepdims=True))
+    return dx.astype(x.dtype), dscale, dbias
+
+
+layer_norm_t.defvjp(_ln_t_fwd, _ln_t_bwd)
+
+
+def apply_norm_t(x: jnp.ndarray, params: dict,
+                 eps: float = 1e-5) -> jnp.ndarray:
+    """Token-minor twin of :func:`apply_norm`."""
+    return layer_norm_t(x, params['scale'], params.get('bias'), eps)
