@@ -32,6 +32,7 @@ def main():
     from esme_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from esme_tpu.data import FastaDataset, FastaTokenDataset, Prefetcher
+    from esme_tpu.ops.flash import host_num_jobs_from_cu
     from esme_tpu.profiling import sync
     from esme_tpu.models.config import config_for
     from esme_tpu.models.esm import ESM, _class_for, forward_flat, \
@@ -48,17 +49,23 @@ def main():
                            alphabet=model.alphabet)
     cfg = model.config
 
-    # compile warm-up on the first batch (static budget => one
-    # compile); the reference's wall-clock excludes CUDA-kernel JIT the
+    # compile warm-up covering every distinct (max_seqlen bucket,
+    # num_jobs bucket) the sweep will hit — compiles through the
+    # tunnel cost seconds and would otherwise land inside the timed
+    # loop; the reference's wall-clock excludes CUDA-kernel JIT the
     # same way by virtue of prebuilt kernels
+    seen = set()
     for batch in ds:
+        ml = -(-int(batch.max_len) // 512) * 512
+        nj = host_num_jobs_from_cu(batch.cu_lens, batch.tokens.shape[0])
+        if (ml, nj) in seen:
+            continue
+        seen.add((ml, nj))
         tj = jnp.asarray(batch.tokens)
         seg, pos = packed_meta(jnp.asarray(batch.cu_lens),
                                batch.tokens.shape[0])
         sync(forward_flat(model.params, cfg, tj, seg, pos,
-                          with_head=True,
-                          max_seqlen=-(-int(batch.max_len) // 512) * 512))
-        break
+                          with_head=True, max_seqlen=ml, num_jobs=nj))
 
     total_tokens = 0
     n = 0
@@ -68,10 +75,13 @@ def main():
         seg, pos = packed_meta(jnp.asarray(batch.cu_lens),
                                batch.tokens.shape[0])
         # bucketed max_seqlen: the span cap only needs an upper
-        # bound, and a per-batch exact value would recompile per batch
+        # bound, and a per-batch exact value would recompile per batch;
+        # num_jobs is bucketed too (ops/flash.py)
         out = forward_flat(model.params, cfg, tj, seg, pos,
                            with_head=True,
-                           max_seqlen=-(-int(batch.max_len) // 512) * 512)
+                           max_seqlen=-(-int(batch.max_len) // 512) * 512,
+                           num_jobs=host_num_jobs_from_cu(
+                               batch.cu_lens, batch.tokens.shape[0]))
         total_tokens += batch.num_tokens
         n += 1
         if args.limit_batches and n >= args.limit_batches:

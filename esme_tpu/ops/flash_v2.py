@@ -20,6 +20,14 @@ actual block-diagonal coverage; grid-step overhead drops by the span
 factor.
 
 Numerics identical to v1 (same online-softmax update, fp32 state).
+
+HISTORICAL (round 4): the on-chip A/B (results/flash_ab_v2.txt)
+showed this design's win over the head-minor v1 was marginal
+(13.1 -> 12.0 ms/layer) because the binding resource was DMA
+*bandwidth* (layout), not wasted tiles. The production kernel
+(ops/flash.py) is now fully token-minor with transposed scores and an
+optional flat job grid, measuring 5.3 ms/layer at the same shape; this
+module is kept for the ESME_FLASH_IMPL=v2 A/B path only.
 """
 
 from __future__ import annotations
