@@ -121,7 +121,7 @@ class ShardedMaskedPLM:
             {k: v for k, v in self.specs.items() if k != 'layers'})
 
     def _local_loss(self, params, masked, targets, mask, cu_lens,
-                    max_seqlen):
+                    max_seqlen, num_jobs=None):
         tok = masked[0]
         kv_gather = None
         if self._seq_axis:
@@ -145,7 +145,8 @@ class ShardedMaskedPLM:
             with_head=True, attn_impl=self.attn_impl,
             checkpointing=self.model.checkpointing, max_seqlen=max_seqlen,
             layer_gather=self._layer_gather,
-            outer_gather=self._outer_gather, kv_gather=kv_gather)
+            outer_gather=self._outer_gather, kv_gather=kv_gather,
+            num_jobs=None if kv_gather is not None else num_jobs)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ll = jnp.take_along_axis(
             logp, targets[0][:, None].astype(jnp.int32), axis=-1)[:, 0]
@@ -160,10 +161,10 @@ class ShardedMaskedPLM:
                                                         self._mask)
         return train_specs, frozen_specs
 
-    @partial(jax.jit, static_argnames=('self', 'max_seqlen'),
+    @partial(jax.jit, static_argnames=('self', 'max_seqlen', 'num_jobs'),
              donate_argnames=('state',))
     def _step(self, state: ShardedTrainState, masked, targets, mask,
-              cu_lens, max_seqlen: int):
+              cu_lens, max_seqlen: int, num_jobs=None):
         batch_spec = P('data', self._seq_axis,
                        *([None] * (masked.ndim - 2)))
         cu_spec = P('data', None)
@@ -175,7 +176,7 @@ class ShardedMaskedPLM:
             def loss_fn(train):
                 params = merge_leaves(train, frozen, treedef, flags)
                 return self._local_loss(params, masked, targets, mask,
-                                        cu_lens, max_seqlen)
+                                        cu_lens, max_seqlen, num_jobs)
             loss, grads = jax.value_and_grad(loss_fn)(train)
             grads = jax.tree.map(
                 lambda g: jax.lax.psum(g, self._loss_axes), grads)
@@ -240,8 +241,24 @@ class ShardedMaskedPLM:
         or a pre-stacked tuple from :func:`stack_batches`."""
         masked, targets, mask, cu_lens, max_len = self._place_batch(batches)
         self.state, loss = self._step(self.state, masked, targets, mask,
-                                      cu_lens, max_len)
+                                      cu_lens, max_len,
+                                      self._job_budget(batches))
         return float(loss)
+
+    def _job_budget(self, batches):
+        """Static dynamic-span job budget covering every data replica
+        (ops/flash.py job mode); None under seq parallelism or when any
+        replica is below the job-mode threshold."""
+        if self._seq_axis or not (isinstance(batches, (list, tuple))
+                                  and hasattr(batches[0], 'tokens')):
+            return None
+        from ..ops.flash import host_num_jobs_from_cu
+        budgets = [host_num_jobs_from_cu(np.asarray(b.cu_lens),
+                                         int(b.tokens.shape[0]))
+                   for b in batches]
+        if any(b is None for b in budgets):
+            return None
+        return max(budgets)
 
     def validation_step(self, batches) -> float:
         """Global loss without updates (reference: esme/trainer.py:37-41)."""
