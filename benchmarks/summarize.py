@@ -38,7 +38,11 @@ def main():
 
     out = ['# Recorded TPU benchmark results', '',
            'One real TPU v5e chip via the benchmark grid '
-           '(`benchmarks/run_all.py`). Re-generate with '
+           '(`benchmarks/run_all.py`). The runtime/max-batch tables '
+           'come from a single coherent capture (round 4, '
+           'token-minor transposed-score kernels); auxiliary suites '
+           '(memory, quality smokes, kernel ablations) are captured '
+           'by their own scripts the same round. Re-generate with '
            '`python benchmarks/summarize.py`.', '']
 
     if 'inference_runtime' in groups:
