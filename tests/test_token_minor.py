@@ -144,3 +144,28 @@ def test_tm_under_fsdp_gather():
                             learning_rate=1e-4)
     loss_sharded = splm.training_step([batch, batch])
     np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+
+
+def test_tm_odd_head_dim():
+    """head_dim=24 (the ESM2-35M shape — not a multiple of the bf16
+    sublane tile) runs through the token-minor flash path and matches
+    the reference implementation."""
+    from esme_tpu.models.config import config_for
+    from esme_tpu.models.esm import _class_for, forward_flat
+
+    cfg = config_for('esm2_35m', dtype='float32')
+    cfg = cfg.replace(num_layers=2) if hasattr(cfg, 'replace') else cfg
+    model = _class_for(cfg.family)(config=cfg, rng=0)
+    T = 512
+    toks, cu, max_len = _packed(T, seed=9)
+    seg, pos = packed_meta(jnp.asarray(cu), T)
+    tj = jnp.asarray(toks)
+    a = forward_flat(model.params, model.config, tj, seg, pos,
+                     with_head=True, attn_impl='flash',
+                     max_seqlen=max_len)
+    b = forward_flat(model.params, model.config, tj, seg, pos,
+                     with_head=True, attn_impl='reference',
+                     max_seqlen=max_len)
+    n = int(cu[-1])
+    np.testing.assert_allclose(np.asarray(a[:n]), np.asarray(b[:n]),
+                               atol=5e-4, rtol=5e-4)
