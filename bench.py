@@ -242,14 +242,20 @@ def main():
             batch.real_tokens / dt_train, 1)
         extra[f'train_ms_{key}'] = round(dt_train * 1e3, 2)
         extra[f'train_budget_{key}'] = budget
-        # fwd+bwd = 3x fwd FLOPs (+1 fwd recompute under remat);
-        # attention bwd recomputes scores and forms dQ/dK/dV: ~2.5x
-        # its fwd FLOPs (+1 more recompute under remat)
-        pfac, afac = (4, 4.5) if ckpt else (3, 3.5)
-        flops = pfac * 2 * n_params * batch.real_tokens \
-            + afac * batch.attn_flops
+        # MFU uses the standard 3x-forward convention (fwd+bwd FLOPs of
+        # the *model*, regardless of rematerialization); attention bwd
+        # is ~2.5x its fwd. HFU additionally counts the remat recompute
+        # (one extra fwd) as hardware work — reported separately for
+        # the checkpointed cell, never as "MFU" (VERDICT r4 weak #1).
+        flops_mfu = 3 * 2 * n_params * batch.real_tokens \
+            + 3.5 * batch.attn_flops
         extra[f'train_mfu_{key}'] = round(
-            flops / dt_train / PEAK_BF16_FLOPS, 4)
+            flops_mfu / dt_train / PEAK_BF16_FLOPS, 4)
+        if ckpt:
+            flops_hfu = 4 * 2 * n_params * batch.real_tokens \
+                + 4.5 * batch.attn_flops
+            extra[f'train_hfu_{key}'] = round(
+                flops_hfu / dt_train / PEAK_BF16_FLOPS, 4)
         del plm
         jax.clear_caches()
         gc.collect()

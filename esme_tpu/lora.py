@@ -196,11 +196,13 @@ def trainable_mask(params: dict, lora_only=None,
     _linears = {'q', 'k', 'v', 'out', 'fc1', 'fc2', 'gate', 'up', 'down',
                 'dense', 'final'}
 
+    from .quant import NON_TRAINABLE_QUANT_LEAVES
+
     def mark(path, leaf):
         keys = [getattr(p, 'key', None) for p in path]
         if not jnp.issubdtype(leaf.dtype, jnp.floating):
             return False      # int8/NF4 quantized storage
-        if keys[-1] in ('scale', 'outlier_rows') and len(keys) >= 2 \
+        if keys[-1] in NON_TRAINABLE_QUANT_LEAVES and len(keys) >= 2 \
                 and keys[-2] in _linears:
             return False      # quantization storage, never trained
         if 'scale' in keys and 'lora' in keys:

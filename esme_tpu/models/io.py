@@ -289,6 +289,13 @@ def save_pretrained(path: str, params: dict, cfg: ESMConfig, name: str):
         arrays[k] = a
         if k.endswith('.qweight'):
             metadata['quantization'] = qdtypes[a.dtype]
+        if k.endswith('.qoutlier_idx'):
+            # schema marker: qweight rows at qoutlier_idx are stored
+            # zeroed with exact values in qoutlier_rows. Readers that
+            # ignore those keys would silently reconstruct weights with
+            # zeroed hot rows — load_pretrained fails loudly when this
+            # marker is present but the keys are missing.
+            metadata['qscheme'] = 'outlier-rows-v1'
     stn.save_file(arrays, path, metadata)
 
 
@@ -314,6 +321,21 @@ def load_pretrained(path: str, dtype='bfloat16',
         quantization = metadata['quantization']
     with safe_open(path, framework='numpy') as f:
         flat = _LazyFlat(f)
+        if metadata.get('qscheme') == 'outlier-rows-v1':
+            # outlier-decomposed checkpoints store the hottest rows of
+            # qweight zeroed; loading without the qoutlier_* side keys
+            # silently reconstructs wrong weights — refuse instead.
+            missing = [k for k in sorted(flat.keys())
+                       if k.endswith('.qweight')
+                       and k[:-len('.qweight')] + '.qoutlier_idx'
+                       not in flat]
+            if missing:
+                raise ValueError(
+                    'checkpoint metadata declares qscheme='
+                    f'outlier-rows-v1 but {len(missing)} qweight '
+                    'tensors lack qoutlier_idx/qoutlier_rows keys '
+                    f'(first: {missing[0]}); the quantized weights '
+                    'cannot be reconstructed without them')
         if 'lm_head.final.weight' in flat:
             head = flat['lm_head.final.weight']
             emb = flat['embed_tokens.weight']

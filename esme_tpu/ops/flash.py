@@ -180,7 +180,7 @@ def host_num_jobs(seg_ids_np, block_q: int, block_k: int,
 
 
 def host_num_jobs_from_cu(cu_lens, total: int, block_q: int | None = None,
-                          block_k: int | None = None) -> int:
+                          block_k: int | None = None) -> int | None:
     """Job budget for a packed batch described by host cu_lens:
     mirrors ``packed_meta`` segment construction + ``forward_flat``'s
     ALIGN tail padding, then counts spans. Returns a bucketed upper
@@ -208,9 +208,17 @@ def host_num_jobs_from_cu(cu_lens, total: int, block_q: int | None = None,
 def job_arrays(kstart, kend, num_jobs: int):
     """Flatten per-q-block spans into job arrays of static length:
     ``qi[j]`` (q block), ``kj[j]`` (k tile), ``first/last[j]`` (state
-    init / output finalize flags). Jobs beyond the real total clamp to
-    the last block with flags off (their DMA repeats the final tile;
-    compute is predicated off)."""
+    init / output finalize flags), and the traced real job ``total``.
+    Jobs beyond the real total clamp to the last block with flags off
+    (their DMA repeats the final tile; compute is predicated off).
+
+    INVARIANT: ``num_jobs >= total`` or outputs silently miss whole
+    q blocks (the tail jobs simply never run). Callers must derive
+    ``num_jobs`` from :func:`host_num_jobs`/:func:`host_num_jobs_from_cu`
+    over the SAME segment layout and block sizes; the kernel wrappers
+    additionally poison their outputs with NaN when the invariant is
+    violated (see :func:`_overflow_poison`) so truncation can never
+    pass as a valid result."""
     nqb = kstart.shape[0]
     spans = kend - kstart
     cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
@@ -222,7 +230,19 @@ def job_arrays(kstart, kend, num_jobs: int):
     kj = jnp.minimum(kstart[i] + (j - cum[i]), kend[i] - 1)
     first = (valid & (j == cum[i])).astype(jnp.int32)
     last = (valid & (j == cum[i + 1] - 1)).astype(jnp.int32)
-    return i, kj, first, last
+    return i, kj, first, last, cum[-1]
+
+
+def _overflow_poison(out, total, num_jobs: int):
+    """Loud-failure guard for the job-mode budget invariant
+    (``total <= num_jobs``): on violation, poison token 0 of the output
+    (always a real token — packed layouts start with ``<cls>``) with
+    NaN so the wrong result propagates to any loss/logit consumer
+    instead of silently truncating attention. Cost when the invariant
+    holds: one (H, D) elementwise select."""
+    bad = total > num_jobs
+    poison = jnp.where(bad, jnp.float32(jnp.nan), jnp.float32(1.0))
+    return out.at[:, :, 0].multiply(poison.astype(out.dtype))
 
 
 def _fwd_jobs_kernel(qi_ref, kj_ref, first_ref, last_ref,
@@ -271,7 +291,9 @@ def _fwd_jobs(qT, kT, vT, segq_row, segk_col, kstart, kend, *, block_q,
     H, D, Tq = qT.shape
     hb = head_block
 
-    qi, kj, first, last = job_arrays(kstart, kend, num_jobs)
+    # invariant: num_jobs >= traced span total (see job_arrays); the
+    # host mirror host_num_jobs* computes the same min/max-overlap rule
+    qi, kj, first, last, total = job_arrays(kstart, kend, num_jobs)
 
     def q_index(g, j, qi_ref, kj_ref, first_ref, last_ref):
         return (g, 0, qi_ref[j])
@@ -319,7 +341,7 @@ def _fwd_jobs(qT, kT, vT, segq_row, segk_col, kstart, kend, *, block_q,
     kw = dict(dimension_semantics=('parallel', 'arbitrary'))
     if _VMEM_LIMIT_BYTES is not None:
         kw['vmem_limit_bytes'] = _VMEM_LIMIT_BYTES
-    return pl.pallas_call(
+    oT, lse = pl.pallas_call(
         functools.partial(_fwd_jobs_kernel, scale=scale),
         grid_spec=grid_spec,
         out_shape=[
@@ -329,6 +351,7 @@ def _fwd_jobs(qT, kT, vT, segq_row, segk_col, kstart, kend, *, block_q,
         compiler_params=pltpu.CompilerParams(**kw),
         interpret=interpret,
     )(qi, kj, first, last, qT, segq_row, kT, vT, segk_col)
+    return _overflow_poison(oT, total, num_jobs), lse
 
 
 # ---------------------------------------------------------------------------
@@ -595,6 +618,11 @@ def _bwd(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
     dtype = qT.dtype
 
     if num_jobs is not None:
+        # one budget serves both grid directions only when q and k
+        # tiles partition T identically (see _bwd_jobs); non-square
+        # tiles would need a per-direction host budget
+        assert block_q == block_k, \
+            'job mode requires block_q == block_k (shared span budget)'
         return _bwd_jobs(qT, kT, vT, segq_row, segk_col, lse, delta,
                          doT, kstart, kend, qstart, qend,
                          block_q=block_q, block_k=block_k, hb=hb,
@@ -720,7 +748,9 @@ def _bwd_jobs(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
     cparams = pltpu.CompilerParams(**kw)
 
     # ---- dq: jobs walk (q block, k tile) pairs -------------------------
-    qi, kj, first, last = job_arrays(kstart, kend, num_jobs)
+    # invariant: num_jobs >= span total (job_arrays docstring); host
+    # mirror computes the identical rule, poison guard below backstops
+    qi, kj, first, last, total_q = job_arrays(kstart, kend, num_jobs)
 
     def q_side(g, j, qi_ref, *_):
         return (g, 0, qi_ref[j])
@@ -768,9 +798,14 @@ def _bwd_jobs(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
         interpret=interpret,
     )(qi, kj, first, last, qT, doT, lse, delta, segq_row, kT, vT,
       segk_col)
+    dqT = _overflow_poison(dqT, total_q, num_jobs)
 
     # ---- dk/dv: jobs walk (k block, q tile) pairs ----------------------
-    ki, qj, first2, last2 = job_arrays(qstart, qend, num_jobs)
+    # The q-direction job budget is reused here; row- and column-span
+    # totals agree for monotonic packed segment ids with equal block
+    # sizes (asserted in _bwd) — and the poison below catches any
+    # layout where the k-direction total exceeds it.
+    ki, qj, first2, last2, total_k = job_arrays(qstart, qend, num_jobs)
 
     def k_side(g, j, ki_ref, *_):
         return (g, 0, ki_ref[j])
@@ -826,6 +861,8 @@ def _bwd_jobs(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
         interpret=interpret,
     )(ki, qj, first2, last2, kT, vT, segk_col, qT, doT, lse, delta,
       segq_row)
+    dkT = _overflow_poison(dkT, total_k, num_jobs)
+    dvT = _overflow_poison(dvT, total_k, num_jobs)
 
     return dqT, dkT, dvT
 

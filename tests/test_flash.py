@@ -196,3 +196,36 @@ def test_fused_jobs_grad_matches_static():
     for a, b in zip(g_j, g_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_job_budget_overflow_poisons_output():
+    """If num_jobs is smaller than the real span total, job mode must
+    NOT silently truncate attention: outputs are NaN-poisoned at token
+    0 so the violation propagates loudly (ADVICE r4 medium #2)."""
+    import math
+    import jax.numpy as jnp
+    from esme_tpu.ops.flash import (_fwd_jobs, block_spans, host_num_jobs)
+
+    T, H, D, bq, bk = 1024, 2, 64, 256, 256
+    rng = np.random.default_rng(5)
+    seg_np = np.repeat(np.arange(4, dtype=np.int32), 256)
+    seg = jnp.asarray(seg_np)
+    qT = jnp.asarray(rng.standard_normal((H, D, T)), jnp.float32)
+    segq_row = seg.reshape(1, T)
+    segk_col = seg.reshape(T, 1)
+    kstart, kend, _, _ = block_spans(seg, bq, bk)
+    total = int((kend - kstart).sum())
+    scale = 1.0 / math.sqrt(D)
+
+    # exact budget: clean output
+    o_ok, _ = _fwd_jobs(qT, qT, qT, segq_row, segk_col, kstart, kend,
+                        block_q=bq, block_k=bk, head_block=1,
+                        num_jobs=total, scale=scale, interpret=True)
+    assert np.isfinite(np.asarray(o_ok)).all()
+    assert host_num_jobs(seg_np, bq, bk) >= total
+
+    # one short: loud NaN, not a silent truncation
+    o_bad, _ = _fwd_jobs(qT, qT, qT, segq_row, segk_col, kstart, kend,
+                         block_q=bq, block_k=bk, head_block=1,
+                         num_jobs=total - 1, scale=scale, interpret=True)
+    assert np.isnan(np.asarray(o_bad)[:, :, 0]).all()

@@ -180,3 +180,43 @@ def test_nf4_outlier_stacked_roundtrip():
                                 dtype=jnp.float32))
     np.testing.assert_allclose(deq[1, 5], w[1, 5], rtol=0, atol=0)
     assert np.abs(deq - w).max() < 0.01
+
+
+def test_outlier_schema_guard(tmp_path):
+    """A checkpoint written with outlier-row decomposition carries a
+    qscheme metadata marker; loading a copy whose qoutlier_* keys were
+    stripped fails loudly instead of silently reconstructing weights
+    with zeroed hot rows (ADVICE r4 medium #1)."""
+    import pytest
+    from safetensors import numpy as stn
+    from safetensors import safe_open
+    from esme_tpu import ESM, ESM2
+    from esme_tpu.models.config import esm2_config
+    from esme_tpu.models.io import read_metadata
+
+    cfg = esm2_config(num_layers=2, embed_dim=64, attention_heads=4,
+                      dtype='float32')
+    m = ESM2(config=cfg, rng=0)
+    # force outliers: blow up a few rows so quantize_nf4 decomposes
+    fc1 = np.array(m.params['layers']['mlp']['fc1']['kernel'])
+    fc1[:, :4, :] *= 40.0
+    m.params['layers']['mlp']['fc1']['kernel'] = jnp.asarray(fc1)
+    m.quantize('4bit')
+    assert 'outlier_idx' in m.params['layers']['mlp']['fc1']
+
+    path = str(tmp_path / 'q4o.safetensors')
+    m.save_pretrained(path, name='esm2_tiny')
+    meta = read_metadata(path)
+    assert meta.get('qscheme') == 'outlier-rows-v1'
+
+    # intact file loads fine
+    ESM.from_pretrained(path, dtype='float32')
+
+    # strip the qoutlier_* keys (an old-schema writer/reader would)
+    with safe_open(path, framework='numpy') as f:
+        arrays = {k: f.get_tensor(k) for k in f.keys()
+                  if 'qoutlier' not in k}
+    stripped = str(tmp_path / 'q4o_stripped.safetensors')
+    stn.save_file(arrays, stripped, meta)
+    with pytest.raises(ValueError, match='qoutlier'):
+        ESM.from_pretrained(stripped, dtype='float32')
