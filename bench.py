@@ -9,8 +9,10 @@ packed batches at token_per_batch=50_000 of 100-1000 aa sequences
 (reference: workflow/inference/inference_on_human.py:9-18) — plus the
 reference's MLM train-runtime harness (fwd+bwd+adam over the same
 packed batches, reference: workflow/train/runtime.py:42-52), reported
-in ``extra`` as train tokens/sec/chip with and without activation
-checkpointing, with MFU estimates.
+in ``extra`` as train tokens/sec/chip for three configs: nockpt@10k
+(Lightning-DDP point), ckpt@50k (DeepSpeed point), and ckpt@50k with
+the round-5 memory-shaped config (selective attn-remat + float8 Adam
+state, results/train_configs_r5.txt).
 
 ``vs_baseline`` is the packed-vs-padded speedup per real token — the
 same efficient-vs-baseline comparison the reference paper reports
@@ -18,16 +20,143 @@ same efficient-vs-baseline comparison the reference paper reports
 reference: workflow/inference/inference_runtime.py:36-52). The padded
 baseline runs the SAME model and kernel on the padded layout, so the
 ratio isolates the packing win.
+
+MFU uses the standard 3x-forward convention (model fwd+bwd FLOPs,
+regardless of rematerialization); HFU additionally counts the remat
+recompute and is reported separately for checkpointed cells.
 """
 
+import gc
 import json
-import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 # TPU v5e peak bf16 matmul throughput, for MFU estimates.
 PEAK_BF16_FLOPS = 197e12
+
+
+def _make_model(on_tpu):
+    from esme_tpu import ESM2
+    if on_tpu:
+        return ESM2(num_layers=33, embed_dim=1280, attention_heads=20,
+                    rng=0), 50_000, 10
+    return ESM2(num_layers=4, embed_dim=256, attention_heads=8,
+                rng=0, dtype='float32'), 2_048, 2
+
+
+def _make_train_batch(budget, cfg):
+    """Packed masked-LM batch (80/10/10 BERT masking).
+
+    NB not directly comparable with results/train_runtime__*.csv: the
+    grid's synthetic batch is uniform 250-aa proteins (the reference's
+    max-batch protein) while this harness packs mixed 100-1000-aa
+    sequences (the reference's proteome workload) — longer segments
+    mean larger attention spans per q block, hence lower tok/s here.
+    """
+    from esme_tpu.alphabet import Alphabet, mask_tokens
+    blens, btotal = [], 0
+    brng = np.random.default_rng(2)
+    while btotal < budget - 1024:
+        n = int(brng.integers(100, 1000))
+        blens.append(n + 2)
+        btotal += n + 2
+    bcu = np.cumsum([0, *blens]).astype(np.int32)
+    btk = np.full(budget, Alphabet.padding_idx, np.int32)
+    btk[:bcu[-1]] = brng.integers(4, 24, bcu[-1])
+    masked, msk = mask_tokens(btk[None], alphabet=Alphabet,
+                              rng=np.random.default_rng(1))
+    masked, msk = masked[0], msk[0]
+    msk[bcu[-1]:] = False   # no loss on the static padding tail
+
+    class _B:
+        pass
+    b = _B()
+    b.tokens = btk
+    b.masked_tokens = masked
+    b.mask = msk
+    b.cu_lens = bcu
+    b.max_len = int(max(blens))
+    b.real_tokens = int(bcu[-1])
+    b.attn_flops = 4 * sum(l * l for l in blens) * cfg.embed_dim \
+        * cfg.num_layers
+    return b
+
+
+def _train_cell(model, impl, key, budget, remat, opt, train_reps,
+                extra, n_params):
+    """One MLM train cell: fwd+bwd+optimizer over a packed batch
+    (reference: workflow/train/runtime.py:42-52)."""
+    import jax
+    from esme_tpu.ops import flash as _flash
+    from esme_tpu.train.trainer import MaskedPLM
+
+    ckpt = key.startswith('ckpt')
+    model.checkpointing = ckpt
+    batch = _make_train_batch(budget, model.config)
+    # the attn-remat cell runs the two-kernel bwd: its saved
+    # activations + f8 state + the fused kernel's 1.2GB dq-partial
+    # buffer together cross into the spill/OOM regime (measured grid:
+    # results/train_configs_r5.txt — attn+twokern+adam8 is the best
+    # full-step config at this shape)
+    _flash._FUSED_BWD_JOBS = (remat != 'attn')
+    try:
+        plm = MaskedPLM(model, attn_impl=impl, remat=remat,
+                        optimizer=None if opt is None else opt())
+        plm.training_step(batch)          # compile + warm
+        t0 = time.time()
+        for _ in range(train_reps):
+            plm.training_step(batch)      # float(loss) transfer is
+        dt = (time.time() - t0) / train_reps    # a true sync
+    except Exception as e:                # OOM recorded like the
+        extra[f'train_{key}_error'] = str(e)[:200]  # reference's -1
+        extra[f'train_tok_per_sec_{key}'] = -1
+        plm = None
+        jax.clear_caches()
+        gc.collect()
+        return
+    finally:
+        model.checkpointing = False
+        _flash._FUSED_BWD_JOBS = True
+    extra[f'train_tok_per_sec_{key}'] = round(batch.real_tokens / dt, 1)
+    extra[f'train_ms_{key}'] = round(dt * 1e3, 2)
+    extra[f'train_budget_{key}'] = budget
+    flops_mfu = 3 * 2 * n_params * batch.real_tokens \
+        + 3.5 * batch.attn_flops
+    extra[f'train_mfu_{key}'] = round(
+        flops_mfu / dt / PEAK_BF16_FLOPS, 4)
+    if ckpt:
+        flops_hfu = 4 * 2 * n_params * batch.real_tokens \
+            + 4.5 * batch.attn_flops
+        extra[f'train_hfu_{key}'] = round(
+            flops_hfu / dt / PEAK_BF16_FLOPS, 4)
+    del plm
+    jax.clear_caches()
+    gc.collect()
+
+
+def _adam8():
+    from esme_tpu.train.optim import adam8bit
+    return adam8bit(1e-4)
+
+
+def _a8_child():
+    """Child process for the memory-tight ckpt_a8 cell: the tunneled
+    backend frees prior cells' buffers lazily, so this cell only fits
+    with a fresh HBM. Prints its extra-keys JSON on the last line."""
+    import jax
+    from esme_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    on_tpu = jax.default_backend() == 'tpu'
+    model, token_budget, reps = _make_model(on_tpu)
+    n_params = sum(x.size for x in jax.tree.leaves(model.params))
+    impl = 'flash' if on_tpu else 'reference'
+    extra = {}
+    _train_cell(model, impl, 'ckpt_a8', token_budget, 'attn', _adam8,
+                reps if on_tpu else 1, extra, n_params)
+    print(json.dumps(extra))
 
 
 def main():
@@ -37,23 +166,11 @@ def main():
     from esme_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    from esme_tpu import ESM2, pad_tokens
     from esme_tpu.alphabet import Alphabet
     from esme_tpu.models.esm import forward_flat, packed_meta
 
     on_tpu = jax.default_backend() == 'tpu'
-
-    if on_tpu:
-        model = ESM2(num_layers=33, embed_dim=1280, attention_heads=20,
-                     rng=0)
-        token_budget = 50_000
-        reps = 10
-    else:  # CPU smoke fallback so the script always produces a line
-        model = ESM2(num_layers=4, embed_dim=256, attention_heads=8,
-                     rng=0, dtype='float32')
-        token_budget = 2_048
-        reps = 2
-
+    model, token_budget, reps = _make_model(on_tpu)
     cfg = model.config
     rng = np.random.default_rng(0)
 
@@ -132,11 +249,6 @@ def main():
         extra['ms_padded_total'] = round(dt_padded * 1e3, 2)
         extra['padded_tokens_incl_pad'] = n_batches * batch_rows * row_len
 
-    # ---- MLM train step (reference: workflow/train/runtime.py:42-52) ----
-    # fwd+bwd+adam over the same packed batch; 80/10/10 BERT masking.
-    from esme_tpu.alphabet import mask_tokens
-    from esme_tpu.train.trainer import MaskedPLM
-
     n_params = sum(x.size for x in jax.tree.leaves(model.params))
     # attention FLOPs: 4·ΣL_i²·D per layer (QK^T + PV, summed over
     # heads) — exact over the packed segments, not the tile sweep
@@ -170,48 +282,6 @@ def main():
                       - np.asarray(lr[:n_real], np.float32))
         extra['flash_vs_ref_err'] = round(float(diff.max()), 5)
 
-    def make_batch(budget):
-        blens, btotal = [], 0
-        brng = np.random.default_rng(2)
-        while btotal < budget - 1024:
-            n = int(brng.integers(100, 1000))
-            blens.append(n + 2)
-            btotal += n + 2
-        bcu = np.cumsum([0, *blens]).astype(np.int32)
-        btk = np.full(budget, Alphabet.padding_idx, np.int32)
-        btk[:bcu[-1]] = brng.integers(4, 24, bcu[-1])
-        masked, msk = mask_tokens(btk[None], alphabet=Alphabet,
-                                  rng=np.random.default_rng(1))
-        masked, msk = masked[0], msk[0]
-        msk[bcu[-1]:] = False   # no loss on the static padding tail
-
-        class _B:
-            pass
-        b = _B()
-        b.tokens = btk
-        b.masked_tokens = masked
-        b.mask = msk
-        b.cu_lens = bcu
-        b.max_len = int(max(blens))
-        b.real_tokens = int(bcu[-1])
-        b.attn_flops = 4 * sum(l * l for l in blens) * cfg.embed_dim \
-            * cfg.num_layers
-        return b
-
-    train_reps = reps if on_tpu else 1
-    # operating points mirror the reference's two train harnesses:
-    # checkpointed at token_per_batch=50k (DeepSpeed ZeRO-2 w/
-    # activation checkpointing, workflow/train/runtime.py:28-30) and
-    # un-checkpointed at 10k (Lightning DDP,
-    # workflow/train/runtime_lightning.py:35-39).
-    #
-    # NB these numbers are NOT directly comparable with
-    # results/train_runtime__*.csv: the grid's synthetic batch is
-    # uniform 250-aa proteins (the reference's max-batch protein)
-    # while this harness packs mixed 100-1000-aa sequences (the
-    # reference's proteome workload) — longer segments mean larger
-    # attention spans per q block, hence lower tok/s here.
-    #
     # Free the forward-bench buffers and compiled executables before
     # the train cells: leftover padded-baseline buffers + jit caches
     # previously pushed the 10k nockpt cell over HBM (round-3 BENCH
@@ -219,47 +289,35 @@ def main():
     # contradicted).
     if on_tpu:
         del out, padded_batches
-    import gc
     jax.clear_caches()
     gc.collect()
-    for ckpt, key, budget in ((False, 'nockpt',
-                               10_000 if on_tpu else token_budget),
-                              (True, 'ckpt', token_budget)):
-        model.checkpointing = ckpt
-        batch = make_batch(budget)
-        plm = MaskedPLM(model, attn_impl=impl)
+
+    # train cells: the reference's two harness operating points
+    # (ckpt@50k = DeepSpeed ZeRO-2 w/ act-ckpt,
+    # workflow/train/runtime.py:28-30; nockpt@10k = Lightning DDP,
+    # workflow/train/runtime_lightning.py:35-39), plus the round-5
+    # memory-shaped config.
+    train_reps = reps if on_tpu else 1
+    _train_cell(model, impl, 'nockpt',
+                10_000 if on_tpu else token_budget, 'full', None,
+                train_reps, extra, n_params)
+    _train_cell(model, impl, 'ckpt', token_budget, 'full', None,
+                train_reps, extra, n_params)
+    if on_tpu:
+        # the ckpt_a8 cell needs a fresh HBM (see _a8_child)
         try:
-            plm.training_step(batch)          # compile + warm
-            t0 = time.time()
-            for _ in range(train_reps):
-                plm.training_step(batch)      # float(loss) transfer is
-            dt_train = (time.time() - t0) / train_reps   # a true sync
-        except Exception as e:                # OOM recorded like the
-            extra[f'train_{key}_error'] = str(e)[:200]  # reference's -1
-            extra[f'train_tok_per_sec_{key}'] = -1
-            continue
-        extra[f'train_tok_per_sec_{key}'] = round(
-            batch.real_tokens / dt_train, 1)
-        extra[f'train_ms_{key}'] = round(dt_train * 1e3, 2)
-        extra[f'train_budget_{key}'] = budget
-        # MFU uses the standard 3x-forward convention (fwd+bwd FLOPs of
-        # the *model*, regardless of rematerialization); attention bwd
-        # is ~2.5x its fwd. HFU additionally counts the remat recompute
-        # (one extra fwd) as hardware work — reported separately for
-        # the checkpointed cell, never as "MFU" (VERDICT r4 weak #1).
-        flops_mfu = 3 * 2 * n_params * batch.real_tokens \
-            + 3.5 * batch.attn_flops
-        extra[f'train_mfu_{key}'] = round(
-            flops_mfu / dt_train / PEAK_BF16_FLOPS, 4)
-        if ckpt:
-            flops_hfu = 4 * 2 * n_params * batch.real_tokens \
-                + 4.5 * batch.attn_flops
-            extra[f'train_hfu_{key}'] = round(
-                flops_hfu / dt_train / PEAK_BF16_FLOPS, 4)
-        del plm
-        jax.clear_caches()
-        gc.collect()
-    model.checkpointing = False
+            proc = subprocess.run(
+                [sys.executable, __file__, '--cell-a8'],
+                capture_output=True, text=True, timeout=1500)
+            line = [l for l in proc.stdout.strip().splitlines()
+                    if l.startswith('{')][-1]
+            extra.update(json.loads(line))
+        except Exception as e:
+            extra['train_ckpt_a8_error'] = str(e)[:200]
+            extra['train_tok_per_sec_ckpt_a8'] = -1
+    else:
+        _train_cell(model, impl, 'ckpt_a8', token_budget, 'attn',
+                    _adam8, train_reps, extra, n_params)
 
     print(json.dumps({
         'metric': 'tokens/sec/chip (ESM2-650M unpadded fwd)',
@@ -271,4 +329,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == '--cell-a8':
+        _a8_child()
+    else:
+        main()

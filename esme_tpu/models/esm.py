@@ -59,7 +59,7 @@ def _embed_flat(params, cfg: ESMConfig, tokens, pos_ids):
 @partial(jax.jit, static_argnames=(
     'cfg', 'with_head', 'log_prob', 'lora_names', 'attn_impl',
     'checkpointing', 'collect_layers', 'max_seqlen', 'layer_gather',
-    'outer_gather', 'lora_dropout', 'kv_gather', 'num_jobs'))
+    'outer_gather', 'lora_dropout', 'kv_gather', 'num_jobs', 'remat'))
 def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                  with_head: bool = True, log_prob: bool = False,
                  lora_names: Optional[Tuple[str, ...]] = None,
@@ -68,7 +68,7 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                  max_seqlen: Optional[int] = None,
                  layer_gather=None, outer_gather=None,
                  lora_dropout: float = 0.0, dropout_rng=None,
-                 kv_gather=None, num_jobs=None):
+                 kv_gather=None, num_jobs=None, remat: str = 'full'):
     """Trunk (+ optional LM head) over flat tokens with explicit
     segment/position metadata. Returns ``(T, C)``.
 
@@ -137,7 +137,8 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                             max_seqlen=max_seqlen,
                             gather_fn=layer_gather, rope_t=rope_t,
                             lora_dropout=lora_dropout,
-                            dropout_rng=dropout_rng, num_jobs=num_jobs)
+                            dropout_rng=dropout_rng, num_jobs=num_jobs,
+                            remat=remat)
         x = jnp.swapaxes(apply_norm_t(xT, params['emb_norm_after']),
                          0, 1)
         reps = []
@@ -150,7 +151,8 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
                               gather_fn=layer_gather,
                               rope=rope, lora_dropout=lora_dropout,
                               dropout_rng=dropout_rng,
-                              kv_gather=kv_gather, num_jobs=num_jobs)
+                              kv_gather=kv_gather, num_jobs=num_jobs,
+                              remat=remat)
         x = apply_norm(x, params['emb_norm_after'])
 
     if t_pad and attn_impl != 'reference':

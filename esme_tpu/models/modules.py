@@ -260,13 +260,29 @@ def transformer_layer(x, params, cfg, seg_ids, pos_ids,
     return x
 
 
+def _remat_wrap(body, remat: str):
+    """Wrap a scan body in ``jax.checkpoint``. ``remat='attn'`` keeps
+    the flash kernel outputs (``flash_out``/``flash_lse`` names, see
+    ops/flash.py) so the backward recompute skips the attention kernel
+    — the single most expensive op of the remat (~5.5 ms/layer,
+    results/decompose_train_r5.txt) — for ~130MB/layer of extra saved
+    activations at the 50k-token 650M shape. ``remat='full'`` is the
+    classic minimal-memory policy (recompute everything)."""
+    if remat == 'attn':
+        policy = jax.checkpoint_policies.save_only_these_names(
+            'flash_out', 'flash_lse')
+        return jax.checkpoint(body, policy=policy)
+    return jax.checkpoint(body)
+
+
 def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
                 attn_impl: str = 'auto', checkpointing: bool = False,
                 collect_layers: Optional[Sequence[int]] = None,
                 max_seqlen: Optional[int] = None, gather_fn=None,
                 rope: Optional[tuple] = None,
                 lora_dropout: float = 0.0, dropout_rng=None,
-                kv_gather=None, num_jobs: Optional[int] = None):
+                kv_gather=None, num_jobs: Optional[int] = None,
+                remat: str = 'full'):
     """Run all layers via ``lax.scan`` over stacked per-layer params.
 
     ``gather_fn`` (FSDP hook) all-gathers one layer's param shards
@@ -300,7 +316,7 @@ def layer_stack(x, stacked_params, cfg, seg_ids, pos_ids, lora_names=None,
         return (out, reps), None
 
     if checkpointing:
-        body = jax.checkpoint(body)
+        body = _remat_wrap(body, remat)
 
     L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     reps0 = tuple(jnp.zeros_like(x) for _ in (collect_layers or ()))
@@ -483,7 +499,7 @@ def layer_stack_tm(xT, stacked_params, cfg, seg_ids, lora_names=None,
                    max_seqlen: Optional[int] = None, gather_fn=None,
                    rope_t: Optional[tuple] = None,
                    lora_dropout: float = 0.0, dropout_rng=None,
-                   num_jobs: Optional[int] = None):
+                   num_jobs: Optional[int] = None, remat: str = 'full'):
     """Token-minor twin of :func:`layer_stack` (no collect_layers —
     callers needing intermediate reps use the standard path)."""
     def body(carry, xs):
@@ -499,7 +515,7 @@ def layer_stack_tm(xT, stacked_params, cfg, seg_ids, lora_names=None,
         return (out,), None
 
     if checkpointing:
-        body = jax.checkpoint(body)
+        body = _remat_wrap(body, remat)
 
     L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
     (xT,), _ = jax.lax.scan(body, (xT,),

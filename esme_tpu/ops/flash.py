@@ -602,6 +602,152 @@ def _dkv_jobs_kernel(ki_ref, qj_ref, first_ref, last_ref,
         dvT_ref[:] = dv_scr[:].astype(dvT_ref.dtype)
 
 
+# Fused job-mode backward: one kernel computes dk/dv AND per-pair dq
+# partials, so the score recompute (s) and dp happen ONCE instead of
+# twice — the round-5 bwd decomposition (results/decompose_bwd_r5.txt)
+# measured the two-kernel split recomputing ~4.7 ms/layer of matmuls at
+# the 650M bench shape. dq partials land in a banded HBM buffer
+# (span_cap, H, D, Tq) indexed (band, q_block) — each (q-block, k-tile)
+# pair owns exactly one slot (no accumulation, so bf16 writes are one
+# rounding, like the old kernel's final cast) — and XLA reduces over
+# the band axis with fp32 accumulation. Requires MONOTONIC segment ids
+# (the job-mode contract): only then is every valid (band, q-block)
+# slot covered by a k-direction job.
+_FUSED_BWD_JOBS = True
+
+
+def _dkvq_jobs_kernel(ki_ref, qj_ref, first_ref, last_ref, band_ref,
+                      k_ref, v_ref, segk_ref,
+                      qT_ref, doT_ref, lse_ref, delta_ref, segq_ref,
+                      dkT_ref, dvT_ref, dqp_ref,
+                      dk_scr, dv_scr,
+                      *, scale: float):
+    j = pl.program_id(1)
+
+    @pl.when(first_ref[j] == 1)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    qb = qT_ref[:]
+    dob = doT_ref[:]
+    lse = lse_ref[:]
+    delta = delta_ref[:]
+    s = _bdot(k_ref[:], qb, ((1,), (1,))) * scale
+    mask = (segk_ref[:] == segq_ref[:])[None]
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    dv_scr[:] = dv_scr[:] + _bdot(dob, p.astype(dob.dtype),
+                                  ((2,), (2,)))
+    dp = _bdot(v_ref[:], dob, ((1,), (1,)))
+    ds = p * (dp - delta) * scale
+    dsb = ds.astype(qb.dtype)
+    dk_scr[:] = dk_scr[:] + _bdot(qb, dsb, ((2,), (2,)))
+    # dq partial for THIS pair: (hb, d, bq) += k^T ds, written to its
+    # banded slot (clamp jobs rewrite the final real job's slot with
+    # the same value — benign)
+    dqp_ref[:] = _bdot(k_ref[:], dsb, ((2,), (1,))).astype(
+        dqp_ref.dtype)
+
+    @pl.when(last_ref[j] == 1)
+    def _():
+        dkT_ref[:] = dk_scr[:].astype(dkT_ref.dtype)
+        dvT_ref[:] = dv_scr[:].astype(dvT_ref.dtype)
+
+
+def _bwd_fused_jobs(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
+                    kstart, kend, qstart, qend, *, block_q, block_k,
+                    hb, num_jobs, span_cap, scale, interpret):
+    """One-kernel job-mode backward (see _FUSED_BWD_JOBS note)."""
+    H, D, Tq = qT.shape
+    Tk = kT.shape[2]
+    nqb = Tq // block_q
+    dtype = qT.dtype
+
+    ki, qj, first, last, total_k = job_arrays(qstart, qend, num_jobs)
+    # band slot of each job's dq partial: its k-tile's offset within
+    # the q block's own span
+    band = ki - kstart[qj]
+
+    def k_side(g, j, ki_ref, *_):
+        return (g, 0, ki_ref[j])
+
+    def k_col(g, j, ki_ref, *_):
+        return (ki_ref[j], 0)
+
+    def q_side(g, j, ki_ref, qj_ref, *_):
+        return (g, 0, qj_ref[j])
+
+    def q_row(g, j, ki_ref, qj_ref, *_):
+        return (0, qj_ref[j])
+
+    def dqp_index(g, j, ki_ref, qj_ref, first_ref, last_ref, band_ref):
+        return (band_ref[j], g, 0, qj_ref[j])
+
+    kw = dict(dimension_semantics=('parallel', 'arbitrary'))
+    if _VMEM_LIMIT_BYTES is not None:
+        kw['vmem_limit_bytes'] = _VMEM_LIMIT_BYTES
+
+    dkT, dvT, dqp = pl.pallas_call(
+        functools.partial(_dkvq_jobs_kernel, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(H // hb, num_jobs),
+            in_specs=[
+                pl.BlockSpec((hb, D, block_k), k_side,
+                             memory_space=pltpu.VMEM),   # kT
+                pl.BlockSpec((hb, D, block_k), k_side,
+                             memory_space=pltpu.VMEM),   # vT
+                pl.BlockSpec((block_k, 1), k_col,
+                             memory_space=pltpu.VMEM),   # segk (Tk,1)
+                pl.BlockSpec((hb, D, block_q), q_side,
+                             memory_space=pltpu.VMEM),   # qT
+                pl.BlockSpec((hb, D, block_q), q_side,
+                             memory_space=pltpu.VMEM),   # doT
+                pl.BlockSpec((hb, 1, block_q), q_side,
+                             memory_space=pltpu.VMEM),   # lse
+                pl.BlockSpec((hb, 1, block_q), q_side,
+                             memory_space=pltpu.VMEM),   # delta
+                pl.BlockSpec((1, block_q), q_row,
+                             memory_space=pltpu.VMEM),   # segq (1,Tq)
+            ],
+            out_specs=[
+                pl.BlockSpec((hb, D, block_k), k_side,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb, D, block_k), k_side,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, hb, D, block_q), dqp_index,
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((hb, D, block_k), jnp.float32),
+                pltpu.VMEM((hb, D, block_k), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((H, D, Tk), dtype),
+            jax.ShapeDtypeStruct((H, D, Tk), dtype),
+            jax.ShapeDtypeStruct((span_cap, H, D, Tq), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(**kw),
+        interpret=interpret,
+    )(ki, qj, first, last, band, kT, vT, segk_col, qT, doT, lse, delta,
+      segq_row)
+
+    dkT = _overflow_poison(dkT, total_k, num_jobs)
+    dvT = _overflow_poison(dvT, total_k, num_jobs)
+
+    # band-axis reduction with fp32 accumulation; slots beyond a q
+    # block's real span were never written (garbage) and are masked
+    spans = (kend - kstart).astype(jnp.int32)             # (nqb,)
+    valid = jnp.arange(span_cap, dtype=jnp.int32)[:, None] \
+        < spans[None, :]                                   # (S, nqb)
+    valid_t = jnp.repeat(valid, block_q, axis=1)           # (S, Tq)
+    dqT = jnp.sum(jnp.where(valid_t[:, None, None, :],
+                            dqp.astype(jnp.float32), 0.0),
+                  axis=0).astype(dtype)
+    return dqT, dkT, dvT
+
+
 def _bwd(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
          kstart, kend, qstart, qend, *,
          block_q, block_k, max_span_q, max_span_k, scale, interpret,
@@ -623,6 +769,15 @@ def _bwd(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
         # tiles would need a per-direction host budget
         assert block_q == block_k, \
             'job mode requires block_q == block_k (shared span budget)'
+        # fused kernel needs the banded dq-partial buffer
+        # (span_cap, H, D, Tq) — only worth it when the span cap is a
+        # small band (max_seqlen known), not the full tile range
+        if _FUSED_BWD_JOBS and max_span_k < max(nkb, 2):
+            return _bwd_fused_jobs(
+                qT, kT, vT, segq_row, segk_col, lse, delta, doT,
+                kstart, kend, qstart, qend, block_q=block_q,
+                block_k=block_k, hb=hb, num_jobs=num_jobs,
+                span_cap=max_span_k, scale=scale, interpret=interpret)
         return _bwd_jobs(qT, kT, vT, segq_row, segk_col, lse, delta,
                          doT, kstart, kend, qstart, qend,
                          block_q=block_q, block_k=block_k, hb=hb,
@@ -906,6 +1061,9 @@ def _flash_fwd_vjp(q, k, v, seg_q, seg_k, block_q, block_k, max_seqlen,
     oT, lse = _fwd(qT, kT, vT, segq_row, segk_col, kstart, kend,
                    block_q=block_q, block_k=block_k, head_block=hb,
                    max_span=max_span, scale=scale, interpret=interpret)
+    from jax.ad_checkpoint import checkpoint_name
+    oT = checkpoint_name(oT, 'flash_out')
+    lse = checkpoint_name(lse, 'flash_lse')
     o = jnp.swapaxes(oT, 1, 2)
     return o, (qT, kT, vT, seg_q, seg_k, oT, lse)
 
@@ -1079,6 +1237,15 @@ def _flash_tm_fwd(qT, kT, vT, seg_ids, block_q, block_k, max_seqlen,
                        max_span=_span_cap(T, block_q, block_k,
                                           max_seqlen),
                        scale=scale, interpret=interpret)
+    # names for selective remat: with policy save_only_these_names
+    # ('flash_out', 'flash_lse') the activation-checkpointed backward
+    # keeps the kernel outputs and DCEs the forward kernel out of the
+    # recompute — the single most expensive op in the remat
+    # (~5.5 ms/layer at the 650M bench shape). See models/modules.py
+    # layer_stack_tm(remat='attn').
+    from jax.ad_checkpoint import checkpoint_name
+    oT = checkpoint_name(oT, 'flash_out')
+    lse = checkpoint_name(lse, 'flash_lse')
     return oT, (qT, kT, vT, seg_ids, oT, lse)
 
 

@@ -123,6 +123,11 @@ def _fused_fwd(q2, k2, v2, cos, sin, seg_ids, H, block_q, block_k,
     seg_ids = jax.lax.stop_gradient(seg_ids.astype(jnp.int32))
     o_m, lse = _run_fwd(q2, k2, v2, cos, sin, seg_ids, H, block_q,
                         block_k, max_seqlen, interpret, num_jobs)
+    # selective-remat names (see ops/flash.py _flash_tm_fwd): saving
+    # these two lets the checkpointed backward skip the flash forward
+    from jax.ad_checkpoint import checkpoint_name
+    o_m = checkpoint_name(o_m, 'flash_out')
+    lse = checkpoint_name(lse, 'flash_lse')
     return o_m, (q2, k2, v2, cos, sin, seg_ids, o_m, lse)
 
 

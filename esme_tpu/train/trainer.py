@@ -58,10 +58,17 @@ class MaskedPLM:
                  grad_accum: int = 1, lora_only=None, train_lmhead=False,
                  weight_decay: float = 0.0, optimizer=None,
                  attn_impl: str = 'auto', trainable_mask=None,
-                 offload_optimizer: bool = False):
+                 offload_optimizer: bool = False, remat: str = 'full'):
         self.model = model
         self.attn_impl = attn_impl
         self._offload = bool(offload_optimizer)
+        # activation-checkpointing policy: 'attn' saves the flash
+        # kernel outputs so the remat recompute skips the attention
+        # kernel (faster, +~130MB/layer at 50k tokens; pair with
+        # optim.adam8bit when optimizer HBM is tight); 'full' is the
+        # classic minimal-memory remat. Ignored unless
+        # model.checkpointing is on.
+        self.remat = remat
 
         if optimizer is None:
             optimizer = optax.adamw(learning_rate,
@@ -162,7 +169,8 @@ class MaskedPLM:
             with_head=True, attn_impl=self.attn_impl,
             checkpointing=self.model.checkpointing, max_seqlen=max_seqlen,
             lora_dropout=self._lora_dropout if dropout_rng is not None
-            else 0.0, dropout_rng=dropout_rng, num_jobs=num_jobs)
+            else 0.0, dropout_rng=dropout_rng, num_jobs=num_jobs,
+            remat=self.remat)
         return cross_entropy(logits, targets, mask)
 
     @partial(jax.jit, static_argnames=('self', 'max_seqlen', 'num_jobs'),
