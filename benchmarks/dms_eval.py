@@ -100,7 +100,13 @@ def main():
         preds.append(total)
 
     rho = spearman(preds, dms['DMS_score'].values)
-    print(f'n={len(dms)} spearman={rho:.4f}')
+    regime = 'synthetic-self-consistency' if args.dms is None \
+        else 'external-dms'
+    if regime != 'external-dms':
+        print('# REGIME: synthetic — labels fabricated from the '
+              'model\'s own noised mask-margins; measures plumbing, '
+              'NOT real DMS correlation')
+    print(f'regime={regime} n={len(dms)} spearman={rho:.4f}')
 
 
 if __name__ == '__main__':

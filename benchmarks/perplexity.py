@@ -3,6 +3,7 @@
 proteins <=1024 aa across all model variants)."""
 
 import argparse
+import os
 import sys
 
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
@@ -40,6 +41,9 @@ def main():
         model = _class_for(cfg.family)(config=cfg, rng=0)
         if args.quantization != 'none':
             model.quantize(args.quantization)
+    if not os.path.isfile(args.model):
+        print('# REGIME: random-init weights on synthetic sequences — '
+              'pipeline capture only, NOT a real perplexity')
     fa = Fasta(args.fasta, max_len=args.max_len, k_sample=args.k_sample,
                rng=np.random.default_rng(0))
 

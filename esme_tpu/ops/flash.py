@@ -188,8 +188,13 @@ def host_num_jobs_from_cu(cu_lens, total: int, block_q: int | None = None,
     import numpy as np
     bq = block_q or DEFAULT_BLOCK_Q
     bk = block_k or DEFAULT_BLOCK_K
+    from .segment import TAIL_CHUNK
     cu = np.asarray(cu_lens)
-    seg = np.searchsorted(cu[1:], np.arange(total), side='right')
+    t = np.arange(total)
+    seg = np.searchsorted(cu[1:], t, side='right')
+    # chunked fake tail — must mirror segment_ids_from_cu_lens exactly
+    tail = t >= cu[-1]
+    seg = np.where(tail, seg + (t - cu[-1]) // TAIL_CHUNK, seg)
     t_pad = (-total) % ALIGN
     if t_pad:
         seg = np.concatenate([seg, np.full(t_pad, seg.max() + 1,

@@ -14,20 +14,34 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+# Fake-tail segments are CHUNKED to one attention tile: a single fake
+# segment spanning a long padding tail makes every tail q-block's span
+# cover the whole tail (a 30k-token tail = 117-block spans), inflating
+# both the wasted tile sweep and the job-budget bucket — measured as
+# 1792/2048-job outlier buckets (full-program recompiles) for the
+# leftover batch of each epoch (results/job_buckets_r5.txt). With
+# 256-token fake chunks, tail spans are <= 2 blocks like real short
+# sequences. Mirrored EXACTLY by flash.host_num_jobs_from_cu.
+TAIL_CHUNK = 256
+
+
 def segment_ids_from_cu_lens(cu_lens: jnp.ndarray, total: int) -> jnp.ndarray:
     """Per-token segment index ``(total,)`` from cumulative lengths.
 
     Token ``t`` in ``[cu_lens[i], cu_lens[i+1])`` gets id ``i``. Tokens
-    past ``cu_lens[-1]`` (the static-shape padding tail) get id
-    ``len(cu_lens) - 1`` — one past every real segment, so they form a
-    fake segment that never attends to real tokens. This replaces the
-    reference's ``culen_indices`` repeat_interleave (reference:
-    esme/rotary.py:5-14) with a searchsorted that is O(T log S), static
-    shaped, and jit-safe even when ``cu_lens`` has repeated (padded)
-    tail values.
+    past ``cu_lens[-1]`` (the static-shape padding tail) get ids past
+    every real segment, advancing every :data:`TAIL_CHUNK` tokens (see
+    note above), so they form fake segments that never attend real
+    tokens. This replaces the reference's ``culen_indices``
+    repeat_interleave (reference: esme/rotary.py:5-14) with a
+    searchsorted that is O(T log S), static shaped, and jit-safe even
+    when ``cu_lens`` has repeated (padded) tail values.
     """
     t = jnp.arange(total, dtype=cu_lens.dtype)
-    return jnp.searchsorted(cu_lens[1:], t, side='right').astype(jnp.int32)
+    seg = jnp.searchsorted(cu_lens[1:], t, side='right').astype(jnp.int32)
+    tail = t >= cu_lens[-1]
+    chunk = ((t - cu_lens[-1]) // TAIL_CHUNK).astype(jnp.int32)
+    return jnp.where(tail, seg + chunk, seg)
 
 
 def positions_from_cu_lens(cu_lens: jnp.ndarray, total: int,
