@@ -111,9 +111,33 @@ def main():
     dt = time.time() - t0
     stats = device_memory_stats()
     peak = stats.get('peak_bytes_in_use')
+    if peak:
+        peak_gb = peak / 2 ** 30
+    else:
+        # tunneled backends expose no runtime memory stats; use XLA's
+        # buffer assignment for the sweep's forward program instead
+        # (params + activations + temps — the capacity proof,
+        # reference peak-memory analogue: workflow/utils/memory.py:4-16)
+        import jax.numpy as jnp
+        from esme_tpu.models.esm import _repack_padded, forward_flat
+        from esme_tpu.profiling import memory_analysis_gb
+
+        L = args.seq_len + 2
+
+        def probe(params, tok2d):
+            flat, seg, pos, _, _ = _repack_padded(
+                tok2d, model.config.padding_idx)
+            return forward_flat(params, model.config, flat, seg, pos,
+                                with_head=True, log_prob=True,
+                                checkpointing=True, max_seqlen=L)
+
+        import jax as _jax
+        m = memory_analysis_gb(_jax.jit(probe), model.params,
+                               jnp.zeros((32, L), jnp.int32))
+        peak_gb = m.get('total_gb', -1)
     print('model,quant,seq_len,n_variants,mask_margin_sec,peak_gb')
     print(f'{args.model},{args.quantization},{args.seq_len},{len(df)},'
-          f'{dt:.1f},{peak/2**30 if peak else -1:.2f}', flush=True)
+          f'{dt:.1f},{peak_gb:.2f}', flush=True)
     print(f'# sample margins: {df["score"].head(3).tolist()}'
           if 'score' in df.columns else f'# columns: {list(df.columns)}')
     if not args.keep:

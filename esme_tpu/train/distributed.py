@@ -84,10 +84,14 @@ class ShardedMaskedPLM:
                  weight_decay: float = 0.0, attn_impl: str = 'auto',
                  grad_accum: int = 1, lora_only=None,
                  train_lmhead: bool = False, trainable_mask=None,
-                 optimizer=None, seq_axis: Optional[str] = None):
+                 optimizer=None, seq_axis: Optional[str] = None,
+                 remat: str = 'full'):
         self.model = model
         self.mesh = mesh
         self.attn_impl = attn_impl
+        # activation-checkpoint policy, same contract as MaskedPLM:
+        # 'attn' keeps the flash outputs so the remat skips the kernel
+        self.remat = remat
         # context parallelism: shard each replica's packed token axis
         # over this mesh axis; attention gathers k/v across it
         # (esme_tpu.parallel.context). None = no sequence sharding.
@@ -146,7 +150,8 @@ class ShardedMaskedPLM:
             checkpointing=self.model.checkpointing, max_seqlen=max_seqlen,
             layer_gather=self._layer_gather,
             outer_gather=self._outer_gather, kv_gather=kv_gather,
-            num_jobs=None if kv_gather is not None else num_jobs)
+            num_jobs=None if kv_gather is not None else num_jobs,
+            remat=self.remat)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         ll = jnp.take_along_axis(
             logp, targets[0][:, None].astype(jnp.int32), axis=-1)[:, 0]
