@@ -229,3 +229,48 @@ def test_job_budget_overflow_poisons_output():
                          block_q=bq, block_k=bk, head_block=1,
                          num_jobs=total - 1, scale=scale, interpret=True)
     assert np.isnan(np.asarray(o_bad)[:, :, 0]).all()
+
+
+def test_host_budget_mirrors_traced_spans_with_chunked_tail():
+    """host_num_jobs_from_cu must stay an upper bound of the traced
+    span total for the SAME segment layout forward_flat builds —
+    including the chunked fake-tail rule (ops/segment.py TAIL_CHUNK)
+    and the ALIGN pad. If this drifts, job mode NaN-poisons (see
+    _overflow_poison); this test pins the invariant over random
+    batches."""
+    import jax.numpy as jnp
+    from esme_tpu.models.esm import packed_meta
+    from esme_tpu.ops.flash import (ALIGN, block_spans,
+                                    host_num_jobs_from_cu)
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        budget = int(rng.integers(4, 40)) * 256
+        lens, tot = [], 0
+        while tot < budget - int(rng.integers(256, 2048)):
+            n = int(rng.integers(10, 900)) + 2
+            if tot + n > budget:
+                break
+            lens.append(n)
+            tot += n
+        if not lens:
+            continue
+        cu = np.cumsum([0, *lens]).astype(np.int32)
+        nj = host_num_jobs_from_cu(cu, budget)
+
+        # traced layout: packed_meta + forward_flat's ALIGN tail pad
+        seg_ids, _ = packed_meta(jnp.asarray(cu), budget)
+        t_pad = (-budget) % ALIGN
+        if t_pad:
+            seg_ids = jnp.concatenate(
+                [seg_ids, jnp.full((t_pad,), jnp.max(seg_ids) + 1,
+                                   seg_ids.dtype)])
+        kstart, kend, qstart, qend = block_spans(seg_ids, 256, 256)
+        total_q = int(np.asarray(kend - kstart).sum())
+        total_k = int(np.asarray(qend - qstart).sum())
+        if nj is None:
+            assert max(total_q, total_k) < 768, \
+                (trial, total_q, total_k)
+        else:
+            assert nj >= total_q and nj >= total_k, \
+                (trial, nj, total_q, total_k)
