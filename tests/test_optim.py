@@ -123,3 +123,80 @@ def test_trains_tiny_model_end_to_end():
     plm = MaskedPLM(model, optimizer=adam8bit(1e-3))
     losses = [plm.training_step(b) for _ in range(8)]
     assert losses[-1] < losses[0]
+
+
+def test_adam8bit_under_fsdp():
+    """adam8bit composes with the sharded trainer (state inherits
+    param shardings through jit propagation like any optax state)."""
+    from esme_tpu import ESM2
+    from esme_tpu.alphabet import Alphabet, mask_tokens
+    from esme_tpu.data import PackedBatch
+    from esme_tpu.parallel.mesh import make_mesh
+    from esme_tpu.train.distributed import ShardedMaskedPLM
+
+    model = ESM2(num_layers=2, embed_dim=64, attention_heads=4, rng=0,
+                 dtype='float32')
+    mesh = make_mesh(data=2, fsdp=4)
+    rng = np.random.default_rng(0)
+    batches = []
+    for r in range(2):
+        T = 512
+        toks = np.full(T, Alphabet.padding_idx, np.int32)
+        cu = np.asarray([0, 250, 500], np.int32)
+        toks[:500] = rng.integers(4, 24, 500)
+        masked, mask = mask_tokens(toks[None], alphabet=Alphabet,
+                                   rng=np.random.default_rng(r))
+        masked, mask = masked[0], mask[0]
+        mask[500:] = False
+        batches.append(PackedBatch(tokens=toks, cu_lens=cu, max_len=250,
+                                   masked_tokens=masked, mask=mask))
+
+    plm = ShardedMaskedPLM(model, mesh, optimizer=adam8bit(1e-3))
+    l0 = plm.training_step(batches)
+    l1 = plm.training_step(batches)
+    assert np.isfinite(l0) and np.isfinite(l1)
+    mu_leaf = jax.tree.leaves(plm.state.opt_state.mu)[0]
+    assert mu_leaf.dtype == jnp.float8_e5m2
+
+
+def test_adam8bit_state_checkpoint_roundtrip(tmp_path):
+    """float8 optimizer state survives the orbax checkpoint manager
+    (resume parity: the restored state continues training
+    identically)."""
+    from esme_tpu import ESM2
+    from esme_tpu.train.checkpoint import CheckpointManager
+    from esme_tpu.train.trainer import MaskedPLM, TrainState
+
+    model = ESM2(num_layers=2, embed_dim=64, attention_heads=4, rng=0,
+                 dtype='float32')
+    plm = MaskedPLM(model, optimizer=adam8bit(1e-3))
+
+    # one step so the state is non-trivial
+    from esme_tpu.alphabet import Alphabet, mask_tokens
+    rng = np.random.default_rng(0)
+    toks = np.full(256, Alphabet.padding_idx, np.int32)
+    cu = np.asarray([0, 120, 250], np.int32)
+    toks[:250] = rng.integers(4, 24, 250)
+    masked, mask = mask_tokens(toks[None], alphabet=Alphabet,
+                               rng=np.random.default_rng(1))
+
+    class _B:
+        pass
+    b = _B()
+    b.tokens = toks
+    b.masked_tokens = masked[0]
+    b.mask = mask[0]
+    b.mask[250:] = False
+    b.cu_lens = cu
+    b.max_len = 130
+    plm.training_step(b)
+
+    mgr = CheckpointManager(str(tmp_path / 'ck'))
+    mgr.save(1, plm.state)
+    restored = mgr.restore(plm.state)
+    jax.tree.map(
+        lambda a, c: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(c)),
+        plm.state, restored)
+    mu = jax.tree.leaves(restored.opt_state.mu)[0]
+    assert mu.dtype == jnp.float8_e5m2
