@@ -45,6 +45,12 @@ from ..ops.norm import apply_norm
 # Pure forward
 # ---------------------------------------------------------------------------
 
+# Token-minor residual-stream gate (see forward_flat): measured v5e
+# crossover between the relayout-free (C, T) trunk and the standard
+# path. NB forward_flat is cached per call-site hash; changing this at
+# runtime affects only fresh compilations.
+TM_MIN_TOKENS = 16384
+
 def _embed_flat(params, cfg: ESMConfig, tokens, pos_ids):
     """Embedding over flat tokens (reference: esme/esm.py:176-199 ESM2,
     636-655 ESM1b, 698-715 ESM1v, 876 ESMC)."""
@@ -114,9 +120,10 @@ def forward_flat(params, cfg: ESMConfig, tokens, seg_ids, pos_ids, *,
     T2 = tokens.shape[0]
     # measured: tm wins at the 50k operating point (+5% fwd, +7.5%
     # ckpt train MFU) but loses ~8% on the 10k un-checkpointed train
-    # step; gate by size. CPU interpret (tests) keeps tm at any size
-    # so the parity suite exercises it.
-    tm_min = 16384 if jax.default_backend() == 'tpu' else 256
+    # step; gate by size (TM_MIN_TOKENS, overridable for A/Bs). CPU
+    # interpret (tests) keeps tm at any size so the parity suite
+    # exercises it.
+    tm_min = TM_MIN_TOKENS if jax.default_backend() == 'tpu' else 256
     use_tm = (kv_gather is None and collect_layers is None
               and attn_impl in ('flash', 'auto')
               and (attn_impl == 'flash'

@@ -179,6 +179,14 @@ def host_num_jobs(seg_ids_np, block_q: int, block_k: int,
     return -(-total // bucket) * bucket
 
 
+# Measured on v5e (round 4, re-checked round 5 with the fused bwd —
+# results/gate_retune_r5.txt): at a 10k-token budget (~200 jobs) job
+# mode LOSES on the train step (the short data-dependent job grid
+# pipelines worse than the static sweep); at 50k (~930 jobs) it wins.
+# Below this threshold callers fall back to the static span sweep.
+JOB_MODE_MIN_JOBS = 768
+
+
 def host_num_jobs_from_cu(cu_lens, total: int, block_q: int | None = None,
                           block_k: int | None = None) -> int | None:
     """Job budget for a packed batch described by host cu_lens:
@@ -200,14 +208,10 @@ def host_num_jobs_from_cu(cu_lens, total: int, block_q: int | None = None,
         seg = np.concatenate([seg, np.full(t_pad, seg.max() + 1,
                                            seg.dtype)])
     nj = host_num_jobs(seg, bq, bk)
-    if nj < 768:
-        # measured on v5e: at a 10k-token budget (~200 jobs) job mode
-        # LOSES ~10% on the train step (the short data-dependent job
-        # grid pipelines worse than the static sweep); at 50k (~930
-        # jobs) it wins. Below this threshold callers fall back to the
-        # static span sweep.
+    if nj < JOB_MODE_MIN_JOBS:
         return None
     return nj
+
 
 
 def job_arrays(kstart, kend, num_jobs: int):

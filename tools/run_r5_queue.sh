@@ -39,4 +39,9 @@ for m in esm2_8m esm2_150m; do
       >> results/train_memory__${m}.csv
   done
 done
+# 5. Gate retune at the 10k operating point (fused bwd changes the math)
+timeout 3000 python tools/gate_retune.py \
+  2>&1 | grep -vE "WARNING|^\[2m|axon|Source|libtpu" \
+  > results/gate_retune_r5.txt
+
 echo QUEUE-DONE
