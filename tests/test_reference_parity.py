@@ -312,3 +312,112 @@ def test_masked_loss_matches_reference():
                       jnp.asarray(target.numpy()),
                       jnp.asarray(mask.numpy()))
     np.testing.assert_allclose(float(o), float(r), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Gradient parity vs the torch reference (round 5): the whole custom-
+# VJP chain (flash fwd/bwd incl. the fused job-mode backward,
+# gelu_linear, rotary VJP, fused attention boundary) against an
+# independent autograd through the reference's own model code.
+# ---------------------------------------------------------------------------
+
+def test_grad_parity_vs_reference(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+    from esme_tpu.loss import cross_entropy
+    from esme_tpu.models.esm import forward_flat, packed_meta
+    from esme_tpu.ops.flash import host_num_jobs, JOB_MODE_MIN_JOBS
+
+    ref, ours = _make_pair(tmp_path, num_layers=2, embed_dim=64,
+                           attention_heads=4)
+    seqs = ['MAGVLKE' * 20, 'LKE' * 45, 'MPVAP' * 33, 'KWQ' * 60]
+
+    # torch side: masked mean-CE over fixed positions, backward
+    tokens_t, _, cu_t, max_len_t = REF['alphabet'].tokenize_unpad(
+        seqs, alphabet=_ref_alpha(Alphabet))
+    T = tokens_t.shape[0]
+    rng = np.random.default_rng(0)
+    mask_np = rng.random(T) < 0.15
+    mask_np[0] = True                       # at least one
+    ref.zero_grad()
+    ref.train(False)
+    logits_t = ref(tokens_t, (cu_t, int(max_len_t)))
+    mask_t = torch.from_numpy(mask_np)
+    loss_t = F.cross_entropy(logits_t[mask_t],
+                             tokens_t[mask_t].long())
+    loss_t.backward()
+
+    # our side: same loss via forward_flat with the flash kernels
+    # (CPU interpret) FORCED through job mode so the fused backward
+    # runs (the path the 50k bench exercises on chip)
+    import esme_tpu.ops.flash as flash
+    tokens, _, cu, max_len = tokenize_unpad(seqs, alphabet=Alphabet)
+    np.testing.assert_array_equal(np.asarray(tokens),
+                                  tokens_t.numpy())
+    seg_ids, pos_ids = packed_meta(jnp.asarray(np.asarray(cu)), T)
+    targets = jnp.asarray(np.asarray(tokens), jnp.int32)
+    mask_j = jnp.asarray(mask_np)
+
+    old_gate = flash.JOB_MODE_MIN_JOBS
+    flash.JOB_MODE_MIN_JOBS = 1
+    try:
+        from esme_tpu.ops.flash import host_num_jobs_from_cu
+        nj = host_num_jobs_from_cu(np.asarray(cu), T)
+        assert nj is not None, 'job mode must engage for this test'
+
+        def loss_fn(params):
+            logits = forward_flat(params, ours.config,
+                                  jnp.asarray(np.asarray(tokens),
+                                              jnp.int32),
+                                  seg_ids, pos_ids, with_head=True,
+                                  attn_impl='flash',
+                                  max_seqlen=int(max_len), num_jobs=nj)
+            return cross_entropy(logits, targets, mask_j)
+
+        loss_j, grads = jax.value_and_grad(loss_fn)(ours.params)
+    finally:
+        flash.JOB_MODE_MIN_JOBS = old_gate
+
+    assert abs(float(loss_j) - float(loss_t)) < 1e-4
+
+    def t_grad(name):
+        p = dict(ref.named_parameters())[name]
+        assert p.grad is not None, name
+        return p.grad.detach().numpy()
+
+    # NB comparisons are restricted to gradients whose cotangent path
+    # avoids the reference's rotary backward: the reference re-applies
+    # R instead of R^T to q/k cotangents (reference:
+    # esme/rotary.py:46-63 — a known quirk this repo deliberately does
+    # NOT replicate; SURVEY.md L1 rotary row), so any gradient whose
+    # upstream chain crosses an attention backward — including every
+    # layer-0 weight and the embedding — is systematically off by the
+    # rotation mismatch in the REFERENCE (measured ~2.6% here). Clean
+    # comparisons: the LAST layer's rope-independent weights (its
+    # cotangents come only from the head and its own MLP) and the LM
+    # head. Our own q/k/dq/dk gradients are validated against jax
+    # autodiff through the einsum reference path in tests/test_flash.py
+    # and tests/test_token_minor.py.
+    last = ours.config.num_layers - 1
+    checks = [
+        ('v_last',
+         np.asarray(grads['layers']['attn']['v']['kernel'][last]),
+         t_grad(f'layers.{last}.self_attn.v.weight').T),
+        ('out_last',
+         np.asarray(grads['layers']['attn']['out']['kernel'][last]),
+         t_grad(f'layers.{last}.self_attn.out.weight').T),
+        # fc2 exercises the gelu_linear memory-lean VJP
+        ('fc2_last',
+         np.asarray(grads['layers']['mlp']['fc2']['kernel'][last]),
+         t_grad(f'layers.{last}.final.3.weight').T),
+        ('fc1b_last',
+         np.asarray(grads['layers']['mlp']['fc1']['bias'][last]),
+         t_grad(f'layers.{last}.final.1.bias')),
+        ('lmdense', np.asarray(grads['lm_head']['dense']['kernel']),
+         t_grad('lm_head.dense.weight').T),
+    ]
+    for name, got, want in checks:
+        scale = np.abs(want).max() + 1e-12
+        np.testing.assert_allclose(got, want, atol=2e-3 * scale,
+                                   rtol=2e-3, err_msg=name)
