@@ -88,6 +88,8 @@ def main():
             break
     sync(out)   # block_until_ready is a no-op on the tunneled runtime
     dt = time.time() - t0
+    print('# REGIME: random-init weights, synthetic proteome — throughput is a '
+          'real hardware measurement')
     print(f'packed: {n} batches, {total_tokens} tokens, {dt:.1f}s, '
           f'{total_tokens / dt:.0f} tokens/sec')
 

@@ -39,6 +39,13 @@ for m in esm2_8m esm2_150m; do
       >> results/train_memory__${m}.csv
   done
 done
+# 4b. Whole-proteome throughput refresh (round-5 kernels + chunked tails)
+python tools/make_synthetic_fasta.py /tmp/proteome_r5.fa --n 2000 --max-len 3500
+timeout 1800 python benchmarks/inference_on_proteome.py \
+  --fasta /tmp/proteome_r5.fa --model esm2_650m \
+  2>&1 | grep -vE "WARNING|^\[2m|axon|Source|libtpu" \
+  > results/proteome__esm2_650m.txt
+
 # 5. Gate retune at the 10k operating point (fused bwd changes the math)
 timeout 3000 python tools/gate_retune.py \
   2>&1 | grep -vE "WARNING|^\[2m|axon|Source|libtpu" \
