@@ -34,15 +34,22 @@ def main():
     from esme_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
+    from dataclasses import replace
     from esme_tpu import ESM1b
     from esme_tpu.alphabet import Alphabet, mask_tokens
     from esme_tpu.extend import extend_positions, positions_only_mask
+    from esme_tpu.models.config import esm1b_config
     from esme_tpu.profiling import benchmark
     from esme_tpu.train import MaskedPLM
 
     print('# REGIME: random-init trunk, synthetic long sequences — '
           'pipeline capture; runtimes are real measurements', flush=True)
-    model = ESM1b(rng=0)
+    # start from the PRE-extension 1024-position table: the reference
+    # repo ships ESM1b already extended to 4096 (esme/esm.py:632) —
+    # the product of the very workflow this script mirrors, which
+    # begins from fair-esm's original 1024 positions
+    cfg1024 = replace(esm1b_config(), learned_positions=1024)
+    model = ESM1b(config=cfg1024, rng=0)
     n_pos_before = int(model.params['embed_positions'].shape[0])
 
     # the stock table must REFUSE long input (parity with the

@@ -95,8 +95,10 @@ def main():
         cu_b.append(s0 + -(-l // 256) * 256)
     cu_b = np.asarray(cu_b, np.int32)
 
-    # host-side coverage accounting
+    # host-side coverage accounting (over the ALIGN-padded layout the
+    # kernel actually sees)
     def coverage(cu, T):
+        T = -(-T // 256) * 256
         seg = np.searchsorted(cu[1:], np.arange(T), side='right')
         tail = np.arange(T) >= cu[-1]
         seg = np.where(tail, seg + (np.arange(T) - cu[-1]) // TAIL_CHUNK,
