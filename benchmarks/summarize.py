@@ -41,8 +41,15 @@ def main():
            '(`benchmarks/run_all.py`). The runtime/max-batch tables '
            'come from a single coherent capture (round 4, '
            'token-minor transposed-score kernels); auxiliary suites '
-           '(memory, quality smokes, kernel ablations) are captured '
-           'by their own scripts the same round. Re-generate with '
+           '(memory, quality smokes, kernel ablations, the round-5 '
+           'train/backward decompositions, config grids, and '
+           'adopt/refute A/Bs) are captured by their own scripts — '
+           'every file carries a REGIME header stating its data '
+           'provenance. Round-5 additions: decompose_bwd_r5, '
+           'decompose_train_r5, train_configs_r5, job_buckets_r5, '
+           'gate_retune_r5, aligned_packing_ab, '
+           'extend_positions__esm1b, task_aav__esm2_8m, big-model '
+           'memory proofs. Re-generate with '
            '`python benchmarks/summarize.py`.', '']
 
     if 'inference_runtime' in groups:
