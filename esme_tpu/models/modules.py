@@ -227,12 +227,77 @@ def attention_block(x, params, cfg, seg_ids, pos_ids,
     return linear(o, params['out'], lora_names, lora_dropout, rngs[3])
 
 
+def _silu_deriv(x):
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+@jax.custom_vjp
+def swiglu_linear(h, gk, uk, dk):
+    """``(silu(h@gk) * (h@uk)) @ dk`` saving only ``h`` — the SwiGLU
+    twin of :func:`gelu_linear`. Plain autodiff saves gate, up, AND
+    the silu product (three ``(T, ~2.7C)`` tensors per layer under the
+    scan — ESMC-300M could not run un-checkpointed at a 10k-token
+    budget, results/train_runtime__esmc_300m_nockpt round-5 OOM);
+    recomputing costs two matmuls + one silu in backward. Bias-free
+    (ESMC's MLP has no biases, reference: esme/attention.py:217-227)."""
+    prec = mxu_precision(h, gk)
+    g = jnp.dot(h, gk, preferred_element_type=jnp.float32,
+                precision=prec).astype(h.dtype)
+    u = jnp.dot(h, uk, preferred_element_type=jnp.float32,
+                precision=prec).astype(h.dtype)
+    return jnp.dot(jax.nn.silu(g) * u, dk,
+                   preferred_element_type=jnp.float32,
+                   precision=prec).astype(h.dtype)
+
+
+def _swiglu_linear_fwd(h, gk, uk, dk):
+    return swiglu_linear(h, gk, uk, dk), (h, gk, uk, dk)
+
+
+def _swiglu_linear_bwd(res, dy):
+    h, gk, uk, dk = res
+    prec = mxu_precision(h, gk)
+    lead = tuple(range(h.ndim - 1))
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=prec).astype(h.dtype)
+
+    g = mm(h, gk)
+    u = mm(h, uk)
+    sg = jax.nn.silu(g)
+    dsu = mm(dy, dk.T)
+    dg = (dsu * u * _silu_deriv(g).astype(h.dtype)).astype(h.dtype)
+    du = (dsu * sg).astype(h.dtype)
+    dh = mm(dg, gk.T) + mm(du, uk.T)
+    dgk = jnp.tensordot(h, dg, axes=(lead, lead)).astype(gk.dtype)
+    duk = jnp.tensordot(h, du, axes=(lead, lead)).astype(uk.dtype)
+    ddk = jnp.tensordot(sg * u, dy, axes=(lead, lead)).astype(dk.dtype)
+    return dh, dgk, duk, ddk
+
+
+swiglu_linear.defvjp(_swiglu_linear_fwd, _swiglu_linear_bwd)
+
+
+def _plain_swiglu_params(params):
+    """True iff the SwiGLU triple is plain bias-free kernels (no LoRA,
+    no quantization) — the memory-lean fused path's contract."""
+    return all('kernel' in params[k] and not params[k].get('lora')
+               and 'bias' not in params[k]
+               for k in ('gate', 'up', 'down'))
+
+
 def mlp_block(x, params, cfg):
     """Position-wise MLP: LN -> GELU MLP (ESM2,
     reference: esme/attention.py:228-236) or LN -> SwiGLU -> Linear
     (ESMC, reference: esme/attention.py:217-227,258-281)."""
     h = apply_norm(x, params['norm'])
     if cfg.mlp == 'swiglu':
+        if _plain_swiglu_params(params):
+            return swiglu_linear(h, params['gate']['kernel'],
+                                 params['up']['kernel'],
+                                 params['down']['kernel'])
         gate = linear(h, params['gate'])
         up = linear(h, params['up'])
         return linear(jax.nn.silu(gate) * up, params['down'])
@@ -464,11 +529,74 @@ def _interpret_default():
     return jax.default_backend() != 'tpu'
 
 
+@jax.custom_vjp
+def _swiglu_linear_t(h, gk, uk, dk):
+    """Token-minor ``(C', T)`` twin of :func:`swiglu_linear`: kernels
+    are ``(in, out)``, activations feature-major."""
+    prec = mxu_precision(h, gk)
+
+    def tmm(kernel, x):   # kernel^T @ x over (C, T)
+        return jax.lax.dot_general(
+            kernel, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(x.dtype)
+
+    g = tmm(gk, h)
+    u = tmm(uk, h)
+    return tmm(dk, jax.nn.silu(g) * u)
+
+
+def _swiglu_linear_t_fwd(h, gk, uk, dk):
+    return _swiglu_linear_t(h, gk, uk, dk), (h, gk, uk, dk)
+
+
+def _swiglu_linear_t_bwd(res, dy):
+    h, gk, uk, dk = res
+    prec = mxu_precision(h, gk)
+
+    def tmm(kernel, x):
+        return jax.lax.dot_general(
+            kernel, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(x.dtype)
+
+    def fmm(kernel, x):   # kernel @ x (transpose direction)
+        return jax.lax.dot_general(
+            kernel, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(x.dtype)
+
+    def kgrad(a, b):      # (in, out) = a @ b^T over T
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)
+
+    g = tmm(gk, h)
+    u = tmm(uk, h)
+    sg = jax.nn.silu(g)
+    dsu = fmm(dk, dy)
+    dg = (dsu * u * _silu_deriv(g).astype(h.dtype)).astype(h.dtype)
+    du = (dsu * sg).astype(h.dtype)
+    dh = fmm(gk, dg) + fmm(uk, du)
+    dgk = kgrad(h, dg).astype(gk.dtype)
+    duk = kgrad(h, du).astype(uk.dtype)
+    ddk = kgrad(sg * u, dy).astype(dk.dtype)
+    return dh, dgk, duk, ddk
+
+
+_swiglu_linear_t.defvjp(_swiglu_linear_t_fwd, _swiglu_linear_t_bwd)
+
+
 def mlp_block_tm(xT, params, cfg):
     from ..ops.linear import linear_t
     from ..ops.norm import apply_norm_t
     h = apply_norm_t(xT, params['norm'])
     if cfg.mlp == 'swiglu':
+        if _plain_swiglu_params(params):
+            return _swiglu_linear_t(h, params['gate']['kernel'],
+                                    params['up']['kernel'],
+                                    params['down']['kernel'])
         gate = linear_t(h, params['gate'])
         up = linear_t(h, params['up'])
         return linear_t(jax.nn.silu(gate) * up, params['down'])

@@ -169,3 +169,82 @@ def test_tm_odd_head_dim():
     n = int(cu[-1])
     np.testing.assert_allclose(np.asarray(a[:n]), np.asarray(b[:n]),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_swiglu_linear_memory_lean_vjp_parity():
+    """The fused SwiGLU VJPs (both layouts) match plain autodiff
+    through the unfused path in value and all gradients."""
+    import jax
+    import jax.numpy as jnp
+    from esme_tpu.models.modules import _swiglu_linear_t, swiglu_linear
+
+    rng = np.random.default_rng(0)
+    T, C, Hd = 96, 32, 88
+    h = jnp.asarray(rng.standard_normal((T, C)), jnp.float32)
+    gk = jnp.asarray(rng.standard_normal((C, Hd)) * 0.1, jnp.float32)
+    uk = jnp.asarray(rng.standard_normal((C, Hd)) * 0.1, jnp.float32)
+    dk = jnp.asarray(rng.standard_normal((Hd, C)) * 0.1, jnp.float32)
+
+    def plain(h, gk, uk, dk):
+        return jnp.sum(
+            (jax.nn.silu(h @ gk) * (h @ uk)) @ dk) ** 2
+
+    def fused(h, gk, uk, dk):
+        return jnp.sum(swiglu_linear(h, gk, uk, dk)) ** 2
+
+    def fused_t(h, gk, uk, dk):
+        return jnp.sum(_swiglu_linear_t(h.T, gk, uk, dk)) ** 2
+
+    v0, g0 = jax.value_and_grad(plain, argnums=(0, 1, 2, 3))(
+        h, gk, uk, dk)
+    for fn in (fused, fused_t):
+        v, g = jax.value_and_grad(fn, argnums=(0, 1, 2, 3))(
+            h, gk, uk, dk)
+        np.testing.assert_allclose(float(v), float(v0), rtol=1e-4)
+        for a, b in zip(g, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+
+def test_esmc_fused_swiglu_in_model():
+    """ESMC forward/gradients unchanged by the fused SwiGLU path (it
+    engages automatically for plain bias-free kernels)."""
+    import jax
+    import jax.numpy as jnp
+    import esme_tpu.models.modules as modules
+    from esme_tpu import ESMC, tokenize_unpad
+    from esme_tpu.loss import cross_entropy
+    from esme_tpu.models.esm import forward_flat, packed_meta
+
+    m = ESMC(num_layers=2, embed_dim=64, attention_heads=4, rng=0,
+             dtype='float32')
+    assert modules._plain_swiglu_params(
+        jax.tree.map(lambda x: x[0], m.params['layers'])['mlp'])
+    seqs = ['MAGVLKE' * 10, 'LKE' * 25]
+    tok, _, cu, ml = tokenize_unpad(seqs, alphabet=m.alphabet)
+    T = int(tok.shape[0])
+    seg, pos = packed_meta(jnp.asarray(np.asarray(cu)), T)
+    targets = jnp.asarray(np.asarray(tok), jnp.int32)
+    mask = jnp.asarray(np.ones(T, bool))
+
+    def loss(params, use_fused):
+        orig = modules._plain_swiglu_params
+        if not use_fused:
+            modules._plain_swiglu_params = lambda p: False
+        try:
+            logits = forward_flat(params, m.config,
+                                  jnp.asarray(np.asarray(tok), jnp.int32),
+                                  seg, pos, with_head=True,
+                                  attn_impl='reference',
+                                  max_seqlen=int(ml))
+        finally:
+            modules._plain_swiglu_params = orig
+        return cross_entropy(logits, targets, mask)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(m.params)
+    # different static closure -> force retrace by perturbing a kwarg:
+    jax.clear_caches()
+    v2, g2 = jax.value_and_grad(lambda p: loss(p, False))(m.params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4), g1, g2)
