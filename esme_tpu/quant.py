@@ -103,8 +103,15 @@ def quantize_nf4_np(kernel: np.ndarray, block: int = 64
     wq = wq.reshape(*lead, d_in // block, block, d_out)
     absmax = np.abs(wq).max(axis=-2, keepdims=True)
     absmax[absmax == 0] = 1.0
-    idx = np.searchsorted(_NF4_BOUNDARIES, wq / absmax,
-                          side='left').astype(np.uint8)
+    norm = wq / absmax
+    # exact equivalent of np.searchsorted(B, x, side='left') =
+    # #{B_i < x} as 15 vectorized compares — numpy's binary search was
+    # 97% of the host quantize cost (1.9s vs 0.1s everything else per
+    # 100MB block on this 2-CPU host; the 15B streaming load spent ~9
+    # of its 24 minutes in it)
+    idx = np.zeros(norm.shape, np.uint8)
+    for b in _NF4_BOUNDARIES:
+        idx += norm > b
     idx = idx.reshape(*lead, d_in // block, block // 2, 2, d_out)
     packed = (idx[..., 0, :] | (idx[..., 1, :] << 4)).astype(np.uint8)
     dt = kernel.dtype if kernel.dtype.kind == 'f' else np.float32
