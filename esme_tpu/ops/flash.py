@@ -674,8 +674,11 @@ def _bwd_fused_jobs(qT, kT, vT, segq_row, segk_col, lse, delta, doT,
 
     ki, qj, first, last, total_k = job_arrays(qstart, qend, num_jobs)
     # band slot of each job's dq partial: its k-tile's offset within
-    # the q block's own span
-    band = ki - kstart[qj]
+    # the q block's own span. For monotonic layouts (the job-mode
+    # contract) 0 <= band < span_cap by construction; the clip is
+    # defensive — a contract violation then corrupts a slot (caught by
+    # the parity suites) instead of writing out of bounds.
+    band = jnp.clip(ki - kstart[qj], 0, span_cap - 1)
 
     def k_side(g, j, ki_ref, *_):
         return (g, 0, ki_ref[j])
