@@ -282,6 +282,42 @@ def main():
                       - np.asarray(lr[:n_real], np.float32))
         extra['flash_vs_ref_err'] = round(float(diff.max()), 5)
 
+        # on-chip BACKWARD numerics (round 5): the compiled fused
+        # job-mode bwd kernel vs jax autodiff through the reference
+        # einsum, op-level at H=20/D=64 on a packed layout
+        import jax as _jax
+        from esme_tpu.ops.attention import segment_attention
+        from esme_tpu.ops.flash import flash_tm, host_num_jobs
+
+        Hh, Dd = cfg.attention_heads, cfg.head_dim
+        seg_np = np.asarray(pseg)[:pT]
+        qkv = [jnp.asarray(rng.standard_normal((Hh, Dd, pT)),
+                           jnp.bfloat16) for _ in range(3)]
+        nj_b = host_num_jobs(seg_np, 256, 256)
+
+        def loss_flash(q, k, v):
+            o = flash_tm(q, k, v, jnp.asarray(seg_np), 256, 256, 514,
+                         False, nj_b)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_ref(q, k, v):
+            # (H, D, T) -> (T, H, D) for the einsum reference path
+            o = segment_attention(jnp.transpose(q, (2, 0, 1)),
+                                  jnp.transpose(k, (2, 0, 1)),
+                                  jnp.transpose(v, (2, 0, 1)),
+                                  jnp.asarray(seg_np), impl='reference')
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        gf = _jax.jit(_jax.grad(loss_flash, argnums=(0, 1, 2)))(*qkv)
+        gr = _jax.jit(_jax.grad(loss_ref, argnums=(0, 1, 2)))(*qkv)
+        bwd_err = max(
+            float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b.astype(jnp.float32))))
+            / (float(jnp.max(jnp.abs(b.astype(jnp.float32)))) + 1e-9)
+            for a, b in zip(gf, gr))
+        extra['flash_bwd_vs_ref_rel_err'] = round(bwd_err, 5)
+        del qkv, gf, gr
+
     # Free the forward-bench buffers and compiled executables before
     # the train cells: leftover padded-baseline buffers + jit caches
     # previously pushed the 10k nockpt cell over HBM (round-3 BENCH
